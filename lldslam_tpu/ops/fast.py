@@ -1,0 +1,70 @@
+"""FAST-9/16 corner scoring as a dense vectorized map — TPU-first formulation.
+
+Replaces the per-cell `cv::FAST` calls of `ORBextractor::ComputeKeyPointsOctTree`
+(reference src/ORBextractor.cc:769-829). Instead of branchy per-pixel early-out
+code, we compute the FAST score for EVERY pixel as a fused elementwise program
+(16 shifted images + log-depth circular window reductions), which is exactly
+what the VPU wants. Threshold fallback (20 -> 7, ORBextractor.cc:789-799) is
+subsumed by computing scores at the *minimum* threshold and letting selection
+prefer stronger corners.
+
+Score definition: V(p) = max over all contiguous 9-arcs of
+min_i(|I(c_i) - I(p)|) on the qualifying side — i.e. the maximum threshold at
+which p is still a corner (the standard FAST score, same ranking as OpenCV's
+cornerScore).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# Bresenham circle radius 3, 16 points in circular order, (dy, dx).
+CIRCLE = (
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+)
+
+
+def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """img[y+dy, x+dx] with wrap (borders are masked out by callers)."""
+    return jnp.roll(img, shift=(-dy, -dx), axis=(0, 1))
+
+
+@partial(jax.jit, static_argnames=("threshold",))
+def fast_score_map(img: jnp.ndarray, threshold: float = 7.0) -> jnp.ndarray:
+    """(H, W) float32 -> (H, W) float32 FAST-9 score, 0 where not a corner.
+
+    Borders (3 px) are zeroed.
+    """
+    p = img
+    diffs = jnp.stack([_shift2d(img, dy, dx) - p for dy, dx in CIRCLE])  # (16,H,W)
+
+    def arc9_min(d):
+        # min over circular windows of length 9, via log-depth shifts
+        w2 = jnp.minimum(d, jnp.roll(d, -1, axis=0))
+        w4 = jnp.minimum(w2, jnp.roll(w2, -2, axis=0))
+        w8 = jnp.minimum(w4, jnp.roll(w4, -4, axis=0))
+        w9 = jnp.minimum(w8, jnp.roll(d, -8, axis=0))
+        return jnp.max(w9, axis=0)  # best starting position
+
+    bright = arc9_min(diffs)        # > t  => bright corner with score `bright`
+    dark = arc9_min(-diffs)         # > t  => dark corner
+    score = jnp.maximum(bright, dark)
+    score = jnp.where(score > threshold, score, 0.0)
+    # zero the 3-px border (circle reads wrapped values there)
+    h, w = img.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inside = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+    return jnp.where(inside, score, 0.0)
+
+
+@jax.jit
+def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
+    """3x3 non-maximum suppression: keep pixels equal to their neighborhood max."""
+    neigh = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    return jnp.where(score >= neigh, score, 0.0)

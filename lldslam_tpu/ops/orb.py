@@ -1,0 +1,229 @@
+"""Batched ORB keypoint extraction: pyramid FAST + orientation + rotated BRIEF.
+
+TPU-first replacement for `ORBextractor` (reference src/ORBextractor.cc):
+- dense FAST score map per level (fast.py) instead of per-cell cv::FAST calls
+  (ORBextractor.cc:769-829),
+- spatial distribution via per-cell top-k + global per-level top-n, a batched
+  approximation of the quadtree `DistributeOctTree` (ORBextractor.cc:539) with
+  the same goal (cap per region, keep strongest),
+- IC_Angle intensity-centroid orientation over the radius-15 circular patch
+  (ORBextractor.cc:77-104) as a masked patch-gather reduction,
+- 7x7 sigma=2 Gaussian blur + the standard 256-pair rotated BRIEF pattern
+  (ORBextractor.cc:108-147; pattern table as data in orb_pattern.npy) packed
+  into 8 uint32 words per keypoint,
+- per-level feature budget split geometrically (ORBextractor.cc:435-446) and
+  coordinates rescaled to level 0 (ORBextractor.cc:1095-1101).
+
+Everything lives in one jitted function with static shapes; invalid slots are
+masked, never branched on.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import fast, image
+
+EDGE_MARGIN = 16  # detection border, EDGE_THRESHOLD-3 (ORBextractor.cc:74,779)
+
+_PATTERN = np.load(Path(__file__).parent / "orb_pattern.npy")  # (256, 2, 2) int32
+
+
+def _umax_mask() -> np.ndarray:
+    """31x31 boolean mask of the IC_Angle circular patch, built exactly like
+    the reference's umax table (ORBextractor.cc:452-468)."""
+    HALF = 15
+    umax = np.zeros(HALF + 2, dtype=np.int32)
+    vmax = int(math.floor(HALF * math.sqrt(2.0) / 2 + 1))
+    vmin = int(math.ceil(HALF * math.sqrt(2.0) / 2))
+    for v in range(vmax + 1):
+        umax[v] = int(round(math.sqrt(HALF * HALF - v * v)))
+    v0 = 0
+    for v in range(HALF, vmin - 1, -1):
+        while umax[v0] == umax[v0 + 1]:
+            v0 += 1
+        umax[v] = v0
+        v0 += 1
+    ys, xs = np.mgrid[-HALF : HALF + 1, -HALF : HALF + 1]
+    return np.abs(xs) <= umax[np.abs(ys)]
+
+
+_IC_MASK = _umax_mask()  # (31, 31) bool
+
+
+@dataclass(frozen=True)
+class OrbConfig:
+    """ORBextractor.{nFeatures,scaleFactor,nLevels,iniThFAST,minThFAST}
+    (config inventory SURVEY.md §5.6; Tracking.cc:126-130)."""
+
+    n_features: int = 2000
+    n_levels: int = 8
+    scale: float = 1.2
+    ini_th: float = 20.0
+    min_th: float = 7.0
+    cell: int = 30          # detection cell size in px (ORBextractor.cc:790 W=30)
+    cell_k: int = 4         # candidates kept per cell before global top-n
+
+    def per_level_budget(self):
+        """Geometric split of n_features over levels (ORBextractor.cc:435-446)."""
+        factor = 1.0 / self.scale
+        n0 = self.n_features * (1 - factor) / (1 - factor**self.n_levels)
+        out = []
+        acc = 0
+        for l in range(self.n_levels - 1):
+            n = int(round(n0 * factor**l))
+            out.append(n)
+            acc += n
+        out.append(max(self.n_features - acc, 0))
+        return out
+
+    def scale_factors(self):
+        return [self.scale**l for l in range(self.n_levels)]
+
+    @property
+    def max_kp(self) -> int:
+        total = sum(self.per_level_budget())
+        return ((total + 127) // 128) * 128
+
+
+class Keypoints(NamedTuple):
+    """Fixed-capacity keypoint set (one frame, one camera). Invalid slots are
+    masked by `valid`; coords are level-0 pixels."""
+
+    xy: jnp.ndarray        # (N, 2) float32 (x, y)
+    response: jnp.ndarray  # (N,) float32
+    octave: jnp.ndarray    # (N,) int32
+    angle: jnp.ndarray     # (N,) float32 radians
+    desc: jnp.ndarray      # (N, 8) uint32 packed 256-bit BRIEF
+    valid: jnp.ndarray     # (N,) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.xy.shape[-2]
+
+
+def _select_level_keypoints(score: jnp.ndarray, n_out: int, cfg: OrbConfig):
+    """Per-cell top-k then global top-n on a score map. Returns (xy int32 (n,2),
+    score (n,)) with zero-score invalid slots."""
+    h, w = score.shape
+    c = cfg.cell
+    ch, cw = -(-h // c), -(-w // c)
+    pad = jnp.pad(score, ((0, ch * c - h), (0, cw * c - w)))
+    cells = pad.reshape(ch, c, cw, c).transpose(0, 2, 1, 3).reshape(ch, cw, c * c)
+    k = min(cfg.cell_k, c * c)
+    cell_scores, cell_idx = jax.lax.top_k(cells, k)  # (ch, cw, k)
+    cy = jax.lax.broadcasted_iota(jnp.int32, (ch, cw, k), 0)
+    cx = jax.lax.broadcasted_iota(jnp.int32, (ch, cw, k), 1)
+    ys = cy * c + cell_idx // c
+    xs = cx * c + cell_idx % c
+    flat_s = cell_scores.reshape(-1)
+    flat_y = ys.reshape(-1)
+    flat_x = xs.reshape(-1)
+    n = min(n_out, flat_s.shape[0])
+    top_s, top_i = jax.lax.top_k(flat_s, n)
+    xy = jnp.stack([flat_x[top_i], flat_y[top_i]], axis=-1)
+    if n < n_out:
+        xy = jnp.pad(xy, ((0, n_out - n), (0, 0)))
+        top_s = jnp.pad(top_s, (0, n_out - n))
+    return xy, top_s
+
+
+def _ic_angle(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid orientation (IC_Angle, ORBextractor.cc:77-104).
+    xy (n, 2) int32 level coords -> (n,) radians."""
+    h, w = img.shape
+    offs = jnp.arange(-15, 16)
+    yy = jnp.clip(xy[:, 1:2] + offs[None, :], 0, h - 1)  # (n, 31)
+    xx = jnp.clip(xy[:, 0:1] + offs[None, :], 0, w - 1)
+    patch = img[yy[:, :, None], xx[:, None, :]]  # (n, 31, 31)
+    mask = jnp.asarray(_IC_MASK, img.dtype)
+    xs = jnp.asarray(np.mgrid[-15:16, -15:16][1], img.dtype)
+    ys = jnp.asarray(np.mgrid[-15:16, -15:16][0], img.dtype)
+    m10 = jnp.sum(patch * xs * mask, axis=(1, 2))
+    m01 = jnp.sum(patch * ys * mask, axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def _brief_desc(blur: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotated BRIEF-256 on the blurred level image (computeOrbDescriptor,
+    ORBextractor.cc:108-147). Returns (n, 8) uint32."""
+    h, w = blur.shape
+    pat = jnp.asarray(_PATTERN, jnp.float32)  # (256, 2, 2) [(a,b), (x,y)]
+    ca, sa = jnp.cos(angle), jnp.sin(angle)  # (n,)
+    px = pat[None, :, :, 0]  # (1, 256, 2)
+    py = pat[None, :, :, 1]
+    # rotation as in GET_VALUE: x' = x cos - y sin, y' = x sin + y cos
+    rx = jnp.round(px * ca[:, None, None] - py * sa[:, None, None]).astype(jnp.int32)
+    ry = jnp.round(px * sa[:, None, None] + py * ca[:, None, None]).astype(jnp.int32)
+    gx = jnp.clip(xy[:, None, None, 0] + rx, 0, w - 1)  # (n, 256, 2)
+    gy = jnp.clip(xy[:, None, None, 1] + ry, 0, h - 1)
+    vals = blur[gy, gx]  # (n, 256, 2)
+    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (n, 256)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    words = jnp.sum(bits.reshape(-1, 8, 32) << shifts[None, None, :], axis=-1)
+    return words.astype(jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract(img: jnp.ndarray, cfg: OrbConfig = OrbConfig()) -> Keypoints:
+    """Full ORB extraction for one grayscale float32 image (H, W)."""
+    pyr = image.build_pyramid(img, cfg.n_levels, cfg.scale)
+    budgets = cfg.per_level_budget()
+    scales = cfg.scale_factors()
+    parts = []
+    for l, (im_l, n_l, s_l) in enumerate(zip(pyr, budgets, scales)):
+        score = fast.nms3x3(fast.fast_score_map(im_l, cfg.min_th))
+        h, w = im_l.shape
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        inside = (
+            (ys >= EDGE_MARGIN)
+            & (ys < h - EDGE_MARGIN)
+            & (xs >= EDGE_MARGIN)
+            & (xs < w - EDGE_MARGIN)
+        )
+        score = jnp.where(inside, score, 0.0)
+        xy_l, resp = _select_level_keypoints(score, n_l, cfg)
+        ang = _ic_angle(im_l, xy_l)
+        blur = image.gaussian_blur(im_l)
+        desc = _brief_desc(blur, xy_l, ang)
+        valid = resp > 0
+        xy0 = xy_l.astype(jnp.float32) * s_l
+        parts.append(
+            (
+                xy0,
+                resp,
+                jnp.full((n_l,), l, jnp.int32),
+                ang,
+                desc,
+                valid,
+            )
+        )
+    xy = jnp.concatenate([p[0] for p in parts])
+    resp = jnp.concatenate([p[1] for p in parts])
+    octv = jnp.concatenate([p[2] for p in parts])
+    ang = jnp.concatenate([p[3] for p in parts])
+    desc = jnp.concatenate([p[4] for p in parts])
+    valid = jnp.concatenate([p[5] for p in parts])
+    n, cap = xy.shape[0], cfg.max_kp
+    if n < cap:
+        pad = cap - n
+        xy = jnp.pad(xy, ((0, pad), (0, 0)))
+        resp = jnp.pad(resp, (0, pad))
+        octv = jnp.pad(octv, (0, pad))
+        ang = jnp.pad(ang, (0, pad))
+        desc = jnp.pad(desc, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+    return Keypoints(xy, resp, octv, ang, desc, valid)
+
+
+extract_pair = jax.jit(
+    jax.vmap(extract, in_axes=(0, None)), static_argnames=("cfg",)
+)

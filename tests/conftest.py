@@ -1,0 +1,18 @@
+"""Test configuration: force CPU with 8 virtual devices so sharding tests run
+deterministically without TPU hardware.
+
+Note: this environment's sitecustomize registers an `axon` TPU platform and
+forces `jax_platforms="axon,cpu"`, ignoring the JAX_PLATFORMS env var — so we
+must override via `jax.config.update` after import.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
