@@ -63,8 +63,21 @@ def fast_score_map(img: jnp.ndarray, threshold: float = 7.0) -> jnp.ndarray:
 
 @jax.jit
 def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
-    """3x3 non-maximum suppression: keep pixels equal to their neighborhood max."""
-    neigh = jax.lax.reduce_window(
-        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
-    )
-    return jnp.where(score >= neigh, score, 0.0)
+    """3x3 non-maximum suppression with deterministic plateau tie-breaking.
+
+    A pixel survives iff it is strictly greater than every *scan-order-earlier*
+    neighbor and >= every later neighbor — on an equal-score plateau exactly
+    the first pixel in scan order wins (matching cv2's effective behavior of
+    one detection per plateau; plain `score == maxpool` keeps whole plateau
+    chains, which destabilizes top-N selection).
+    """
+    earlier = [(-1, -1), (-1, 0), (-1, 1), (0, -1)]
+    later = [(0, 1), (1, -1), (1, 0), (1, 1)]
+    max_e = jnp.full_like(score, -jnp.inf)
+    for dy, dx in earlier:
+        max_e = jnp.maximum(max_e, _shift2d(score, dy, dx))
+    max_l = jnp.full_like(score, -jnp.inf)
+    for dy, dx in later:
+        max_l = jnp.maximum(max_l, _shift2d(score, dy, dx))
+    keep = (score > max_e) & (score >= max_l)
+    return jnp.where(keep, score, 0.0)

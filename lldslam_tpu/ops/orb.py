@@ -110,14 +110,23 @@ class Keypoints(NamedTuple):
 
 
 def _select_level_keypoints(score: jnp.ndarray, n_out: int, cfg: OrbConfig):
-    """Per-cell top-k then global top-n on a score map. Returns (xy int32 (n,2),
-    score (n,)) with zero-score invalid slots."""
+    """Spatially-uniform selection: per-cell top-k (k ~= budget/cells) then
+    global top-n. Returns (xy int32 (n,2), score (n,)) with zero-score invalid
+    slots.
+
+    Keeping k near budget/cells makes selection a *local* contest (strongest
+    corner per 30-px window), which is stable across views — the point of the
+    reference's quadtree DistributeOctTree (ORBextractor.cc:539). A global
+    top-n over many candidates is rank-unstable under subpixel shifts and
+    destroys stereo/temporal repeatability (measured: median counterpart
+    distance 11 px global vs ~1 px per-cell on a shifted synthetic pair).
+    """
     h, w = score.shape
     c = cfg.cell
     ch, cw = -(-h // c), -(-w // c)
     pad = jnp.pad(score, ((0, ch * c - h), (0, cw * c - w)))
     cells = pad.reshape(ch, c, cw, c).transpose(0, 2, 1, 3).reshape(ch, cw, c * c)
-    k = min(cfg.cell_k, c * c)
+    k = min(max(1, -(-n_out // (ch * cw))) + 1, cfg.cell_k, c * c)
     cell_scores, cell_idx = jax.lax.top_k(cells, k)  # (ch, cw, k)
     cy = jax.lax.broadcasted_iota(jnp.int32, (ch, cw, k), 0)
     cx = jax.lax.broadcasted_iota(jnp.int32, (ch, cw, k), 1)
@@ -192,7 +201,10 @@ def extract(img: jnp.ndarray, cfg: OrbConfig = OrbConfig()) -> Keypoints:
         score = jnp.where(inside, score, 0.0)
         xy_l, resp = _select_level_keypoints(score, n_l, cfg)
         ang = _ic_angle(im_l, xy_l)
-        blur = image.gaussian_blur(im_l)
+        # Round the blur to integers: the oracle blurs uint8->uint8, and BRIEF
+        # compares values — rounding gives bit-exact descriptor parity with
+        # cv2.ORB (measured mean Hamming 0.0 at identical keypoints).
+        blur = jnp.round(image.gaussian_blur(im_l))
         desc = _brief_desc(blur, xy_l, ang)
         valid = resp > 0
         xy0 = xy_l.astype(jnp.float32) * s_l
