@@ -1,0 +1,319 @@
+"""Bundle adjustment: batched Gauss-Newton/LM with Schur-complement point
+(and line) marginalization — the TPU-native replacement for g2o's
+BlockSolver + OptimizationAlgorithmLevenberg driving
+`Optimizer::LocalBundleAdjustment` (reference src/Optimizer.cc:936-1388) and
+`Optimizer::BundleAdjustment` (global, src/Optimizer.cc:321-560).
+
+Two solve paths over the same residual/Jacobian machinery:
+
+1. `solve_dense` — dense-block Schur: eliminate landmarks, build the reduced
+   camera system S (6K x 6K) explicitly via one big MXU matmul over a
+   (K, P, 6, 3) coupling tensor, Cholesky-solve. Right-sized for local BA
+   windows (K <= ~32, P <= ~16k), mirroring the covisible-KF window + fixed
+   frontier of the reference (Optimizer.cc:988-1018).
+
+2. `solve_cg` — matrix-free Schur: preconditioned conjugate gradients on the
+   reduced system, with S@v evaluated as two observation-level scatter/gather
+   passes (O(observations) per matvec, no K*P tensor). This is the scalable
+   global-BA path; every op is a segment-sum over the observation table, which
+   shards over a device mesh with a single `psum` (SURVEY.md §5.7 plan).
+
+Fixed-capacity convention: all arrays are padded; `*_valid` masks gate
+contributions. Invalid observations contribute exactly zero to every system.
+
+Landmark classes: 3-DoF points; 4-DoF minimal lines (quaternion increment +
+alpha, types_sba.h:62-110) enter through the same Schur machinery with 4x4
+landmark blocks (see lines_ba.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from ..geometry.camera import StereoCamera
+from . import residuals as res
+
+
+class BAObs(NamedTuple):
+    """Padded point-observation table."""
+
+    k: jnp.ndarray           # (O,) int32 keyframe index
+    p: jnp.ndarray           # (O,) int32 point index
+    uvr: jnp.ndarray         # (O, 3)
+    inv_sigma2: jnp.ndarray  # (O,)
+    is_stereo: jnp.ndarray   # (O,) bool
+    valid: jnp.ndarray       # (O,) bool
+
+
+class BAProblem(NamedTuple):
+    poses: jnp.ndarray       # (K, 4, 4) T_cw
+    points: jnp.ndarray      # (P, 3)
+    pose_fixed: jnp.ndarray  # (K,) bool — fixed frontier + gauge
+    point_valid: jnp.ndarray  # (P,) bool
+    obs: BAObs
+
+
+def _terms(cam: StereoCamera, problem: BAProblem, robust: bool, delta_scale=1.0):
+    """Per-observation residuals, Jacobians and IRLS weights.
+
+    Returns r (O,3), Jc (O,3,6), Jp (O,3,3), W (O,3) row weights, chi2 (O,).
+    `delta_scale` scales the squared Huber delta (graduated non-convexity).
+    """
+    o = problem.obs
+    T = problem.poses[o.k]
+    X = problem.points[o.p]
+    r = res.point_residual_stereo(cam, T, X, o.uvr)
+    Jc, Jp, Xc = res.point_jacobians_stereo(cam, T, X)
+    row_w = jnp.where(o.is_stereo[:, None], 1.0, jnp.array([1.0, 1.0, 0.0])[None, :])
+    chi2_raw = o.inv_sigma2 * jnp.sum(r * r * row_w, axis=-1)
+    active = (
+        o.valid
+        & problem.point_valid[o.p]
+        # behind/near-camera guard (Optimizer.cc depth checks). Margin matters:
+        # at z -> 0 the Jacobians blow up and inf * 0-weight = NaN would
+        # poison the scattered normal equations.
+        & (Xc[..., 2] > 0.05)
+        # unrecoverable-outlier guard: >1000-sigma-px observations carry no
+        # usable signal, but their 1/z^2-scaled Jacobian blocks are large
+        # enough (1e13) to make the f32 Schur complement indefinite. They may
+        # re-enter once the state improves (mask is recomputed per iteration).
+        & (chi2_raw < 1e6)
+    ).astype(r.dtype)
+    r = r * active[:, None]
+    Jc = Jc * active[:, None, None]
+    Jp = Jp * active[:, None, None]
+    chi2 = o.inv_sigma2 * jnp.sum(r * r * row_w, axis=-1)
+    delta_sq = jnp.where(o.is_stereo, res.CHI2_STEREO, res.CHI2_MONO) * delta_scale
+    hub = res.huber_weight(chi2, delta_sq) if robust else 1.0
+    w = o.inv_sigma2 * hub * active
+    W = w[:, None] * row_w
+    return r, Jc, Jp, W, chi2, active
+
+
+def _build_blocks(problem: BAProblem, r, Jc, Jp, W):
+    """Scatter observation terms into per-pose / per-point normal blocks."""
+    K = problem.poses.shape[0]
+    P = problem.points.shape[0]
+    o = problem.obs
+    JcW = Jc * W[:, :, None]                       # (O, 3, 6)
+    Hcc = jnp.zeros((K, 6, 6)).at[o.k].add(jnp.einsum("ori,orj->oij", JcW, Jc))
+    bc = jnp.zeros((K, 6)).at[o.k].add(-jnp.einsum("ori,or->oi", JcW, r))  # -J^T W r
+    JpW = Jp * W[:, :, None]                       # (O, 3, 3)
+    Hpp = jnp.zeros((P, 3, 3)).at[o.p].add(jnp.einsum("ori,orj->oij", JpW, Jp))
+    bp = jnp.zeros((P, 3)).at[o.p].add(-jnp.einsum("ori,or->oi", JpW, r))  # -J^T W r
+    Wcp = jnp.einsum("ori,orj->oij", JcW, Jp)      # (O, 6, 3) per-obs coupling
+    return Hcc, bc, Hpp, bp, Wcp
+
+
+def _damp_diag(H, lam):
+    """H + lam*diag(H) + eps I, batched."""
+    n = H.shape[-1]
+    I = jnp.eye(n, dtype=H.dtype)
+    d = jnp.diagonal(H, axis1=-2, axis2=-1)
+    return H + (lam * d + 1e-8)[..., None] * I
+
+
+def _fix_gauge(S, b, fixed):
+    """Zero out rows/cols of fixed poses in the reduced system; unit diagonal."""
+    K = fixed.shape[0]
+    free = (~fixed).astype(S.dtype)
+    S = S * free[:, None, None, None] * free[None, None, :, None]
+    b = b * free[:, None]
+    # unit diagonal on fixed blocks keeps the system nonsingular
+    eye6 = jnp.eye(6, dtype=S.dtype)
+    eyeK = jnp.eye(K, dtype=S.dtype)
+    S = S + (
+        fixed.astype(S.dtype)[:, None, None, None]
+        * eyeK[:, None, :, None]
+        * eye6[None, :, None, :]
+    )
+    return S, b
+
+
+def _schur_dense(problem: BAProblem, Hcc, bc, Hpp, bp, Wcp, lam):
+    """Explicit reduced camera system via the (K, P, 6, 3) coupling tensor."""
+    K = problem.poses.shape[0]
+    P = problem.points.shape[0]
+    o = problem.obs
+    Hpp_d = _damp_diag(Hpp, lam)
+    # guard: points with no observations get identity blocks
+    seen = jnp.zeros((P,)).at[o.p].add(jnp.abs(Wcp).sum(axis=(1, 2))) > 0
+    Hpp_d = jnp.where(
+        seen[:, None, None], Hpp_d, jnp.eye(3, dtype=Hpp.dtype)[None]
+    )
+    Hpp_inv = jnp.linalg.inv(Hpp_d)
+    B = jnp.zeros((K, P, 6, 3)).at[o.k, o.p].add(Wcp)  # dense coupling
+    BHinv = jnp.einsum("kpij,pjl->kpil", B, Hpp_inv)
+    S = jnp.einsum("kpil,qpjl->kiqj", BHinv, B)        # (K,6,K,6)
+    Hcc_d = _damp_diag(Hcc, lam)
+    S = jnp.einsum("kij,kq->kiqj", Hcc_d, jnp.eye(K, dtype=Hcc.dtype)) - S
+    rhs = bc - jnp.einsum("kpil,pl->ki", BHinv, bp)
+    S, rhs = _fix_gauge(S, rhs, problem.pose_fixed)
+    # Symmetric Jacobi scaling + Cholesky: the raw reduced system mixes
+    # rotation/translation scales (entries ~ (fx*depth)^2 vs fx^2, cond 1e6+)
+    # which breaks TPU's f32 LU (observed: solve returning 5x-too-large
+    # steps vs CPU LAPACK). Scaling brings the diagonal to 1.
+    Sm = S.reshape(6 * K, 6 * K)
+    Sm = 0.5 * (Sm + Sm.T)  # f32 scatter/matmul rounding leaves slight asymmetry
+    d = jnp.diagonal(Sm)
+    dsi = 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(d), 1e-12))
+    Ss = Sm * dsi[:, None] * dsi[None, :] + 1e-6 * jnp.eye(6 * K, dtype=Sm.dtype)
+    y = jnp.linalg.solve(Ss, rhs.reshape(6 * K) * dsi)
+    dc = (y * dsi).reshape(K, 6)
+    # back-substitute landmarks
+    dp = jnp.einsum(
+        "pij,pj->pi", Hpp_inv, bp - jnp.einsum("kpij,ki->pj", B, dc)
+    )
+    dp = dp * problem.point_valid[:, None]
+    return dc, dp
+
+
+def _schur_cg(problem: BAProblem, Hcc, bc, Hpp, bp, Wcp, lam, cg_iters: int):
+    """Matrix-free reduced-system CG: S@v via observation-level passes."""
+    o = problem.obs
+    K = problem.poses.shape[0]
+    P = problem.points.shape[0]
+    free = (~problem.pose_fixed).astype(bc.dtype)
+    Hpp_d = _damp_diag(Hpp, lam)
+    seen = jnp.zeros((P,)).at[o.p].add(jnp.abs(Wcp).sum(axis=(1, 2))) > 0
+    Hpp_d = jnp.where(seen[:, None, None], Hpp_d, jnp.eye(3, dtype=Hpp.dtype)[None])
+    Hpp_inv = jnp.linalg.inv(Hpp_d)
+    Hcc_d = _damp_diag(Hcc, lam)
+
+    def S_matvec(v):  # v (K, 6)
+        v = v * free[:, None]
+        y = jnp.einsum("kij,kj->ki", Hcc_d, v)
+        # coupling: z_p = sum_o W_o^T v[k(o)]
+        z = jnp.zeros((P, 3)).at[o.p].add(jnp.einsum("oij,oi->oj", Wcp, v[o.k]))
+        z = jnp.einsum("pij,pj->pi", Hpp_inv, z)
+        y2 = jnp.zeros((K, 6)).at[o.k].add(jnp.einsum("oij,oj->oi", Wcp, z[o.p]))
+        return (y - y2) * free[:, None]
+
+    rhs = (bc - jnp.zeros((K, 6)).at[o.k].add(
+        jnp.einsum("oij,oj->oi", Wcp, jnp.einsum("pij,pj->pi", Hpp_inv, bp)[o.p])
+    )) * free[:, None]
+
+    # Block-Jacobi preconditioner, computed on Jacobi-scaled blocks so the
+    # 6x6 inversions stay well-conditioned in f32 (see _schur_dense note).
+    db = jnp.sqrt(jnp.maximum(jnp.diagonal(Hcc_d, axis1=-2, axis2=-1), 1e-12))
+    Hcc_s = Hcc_d / (db[:, :, None] * db[:, None, :])
+    Minv_s = jnp.linalg.inv(Hcc_s + jnp.eye(6, dtype=bc.dtype) * 1e-6)
+    Minv = Minv_s / (db[:, :, None] * db[:, None, :])
+
+    def precond(r):
+        return jnp.einsum("kij,kj->ki", Minv, r) * free[:, None]
+
+    def cg_body(_, state):
+        x, r, z, pdir, rz = state
+        Ap = S_matvec(pdir)
+        denom = jnp.sum(pdir * Ap)
+        alpha = rz / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        x = x + alpha * pdir
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-12, 1e-12, rz)
+        pdir = z + beta * pdir
+        return (x, r, z, pdir, rz_new)
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = precond(r0)
+    state = (x0, r0, z0, z0, jnp.sum(r0 * z0))
+    dc, *_ = jax.lax.fori_loop(0, cg_iters, cg_body, state)
+    # back-substitute
+    z = jnp.zeros((P, 3)).at[o.p].add(jnp.einsum("oij,oi->oj", Wcp, dc[o.k]))
+    dp = jnp.einsum("pij,pj->pi", Hpp_inv, bp - z)
+    dp = dp * problem.point_valid[:, None]
+    return dc, dp
+
+
+def _apply_update(problem: BAProblem, dc, dp):
+    free = (~problem.pose_fixed).astype(dc.dtype)
+    poses = se3.exp(dc * free[:, None]) @ problem.poses
+    points = problem.points + dp
+    return problem._replace(poses=poses, points=points)
+
+
+def _total_cost(cam, problem: BAProblem, robust: bool, delta_scale=1.0):
+    o = problem.obs
+    r = res.point_residual_stereo(cam, problem.poses[o.k], problem.points[o.p], o.uvr)
+    row_w = jnp.where(o.is_stereo[:, None], 1.0, jnp.array([1.0, 1.0, 0.0])[None, :])
+    chi2 = o.inv_sigma2 * jnp.sum(r * r * row_w, axis=-1)
+    delta_sq = jnp.where(o.is_stereo, res.CHI2_STEREO, res.CHI2_MONO) * delta_scale
+    Xc = se3.apply(problem.poses[o.k], problem.points[o.p])
+    active = (o.valid & problem.point_valid[o.p] & (Xc[..., 2] > 0.05)).astype(r.dtype)
+    c = res.huber_rho(chi2, delta_sq) if robust else chi2
+    return jnp.sum(c * active)
+
+
+@partial(jax.jit, static_argnames=("cam", "iters", "dense", "cg_iters", "robust", "gnc"))
+def ba_solve(
+    cam: StereoCamera,
+    problem: BAProblem,
+    iters: int = 5,
+    dense: bool = True,
+    cg_iters: int = 24,
+    robust: bool = True,
+    gnc: bool = True,
+):
+    """Run `iters` LM iterations. Returns (problem', final chi2 per obs).
+
+    `gnc`: graduated non-convexity — the Huber delta starts 8x inflated and
+    halves each iteration down to nominal. Far from the basin a tight Huber
+    IRLS underestimates curvature and the GN step overshoots (a cost-
+    decreasing step can scramble poses); a near-quadratic start keeps the
+    first steps Newton-accurate, and the final iterations run at the true
+    delta so outlier classification is unchanged.
+    """
+
+    def body(i, state):
+        problem, lam = state
+        dscale = jnp.maximum(1.0, 64.0 * 0.5 ** i) if gnc else 1.0
+        r, Jc, Jp, W, chi2, active = _terms(cam, problem, robust, dscale)
+        blocks = _build_blocks(problem, r, Jc, Jp, W)
+        if dense:
+            dc, dp = _schur_dense(problem, *blocks, lam)
+        else:
+            dc, dp = _schur_cg(problem, *blocks, lam, cg_iters)
+        cand = _apply_update(problem, dc, dp)
+        c_old = _total_cost(cam, problem, robust, dscale)
+        c_new = _total_cost(cam, cand, robust, dscale)
+        accept = c_new < c_old
+        problem = jax.tree.map(lambda a, b: jnp.where(accept, b, a), problem, cand)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e4)
+        return (problem, lam)
+
+    problem, _ = jax.lax.fori_loop(
+        0, iters, body, (problem, jnp.asarray(1e-4, problem.poses.dtype))
+    )
+    # final chi2 for outlier classification
+    o = problem.obs
+    r = res.point_residual_stereo(cam, problem.poses[o.k], problem.points[o.p], o.uvr)
+    row_w = jnp.where(o.is_stereo[:, None], 1.0, jnp.array([1.0, 1.0, 0.0])[None, :])
+    chi2 = o.inv_sigma2 * jnp.sum(r * r * row_w, axis=-1)
+    return problem, chi2
+
+
+def classify_outliers(problem: BAProblem, chi2: jnp.ndarray, cam: StereoCamera):
+    """Observation inlier mask: chi2 gate + positive depth
+    (LocalBA outlier erasure, Optimizer.cc:1280-1296, 1336-1358)."""
+    o = problem.obs
+    th = jnp.where(o.is_stereo, res.CHI2_STEREO, res.CHI2_MONO)
+    Xc = se3.apply(problem.poses[o.k], problem.points[o.p])
+    return o.valid & (chi2 <= th) & (Xc[..., 2] > 0)
+
+
+def local_ba(cam: StereoCamera, problem: BAProblem):
+    """Reference LocalBundleAdjustment schedule: 5 iters, drop outliers,
+    10 more iters, final outlier classification (Optimizer.cc:1223-1296)."""
+    problem, chi2 = ba_solve(cam, problem, iters=5)
+    keep = classify_outliers(problem, chi2, cam)
+    problem = problem._replace(obs=problem.obs._replace(valid=keep))
+    problem, chi2 = ba_solve(cam, problem, iters=10)
+    keep = classify_outliers(problem, chi2, cam)
+    return problem, keep
