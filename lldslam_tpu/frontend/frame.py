@@ -1,0 +1,52 @@
+"""Frame construction: one jitted program per stereo pair.
+
+Replaces the stereo `Frame::Frame` constructor (reference src/Frame.cc:76-161):
+dual ORB extraction (the reference forks 2 threads, Frame.cc:101-104 — here
+one batched kernel), stereo matching, and the feature bookkeeping the
+pipeline needs. The 64x48 keypoint grid (Frame.cc:294) is not materialized:
+projection matching uses dense masked distance matrices instead (matching.py).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.camera import StereoCamera
+from ..ops import image, orb, stereo
+from .matching import FrameFeatures
+
+
+class FrameData(NamedTuple):
+    """Everything tracking needs from one stereo frame (device arrays)."""
+
+    feats: FrameFeatures     # left keypoints + stereo ur
+    depth: jnp.ndarray       # (N,) stereo depth or -1
+    right: orb.Keypoints     # right keypoints (for line/stereo debugging)
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg"))
+def build_frame(
+    img_l: jnp.ndarray,
+    img_r: jnp.ndarray,
+    cam: StereoCamera,
+    cfg: orb.OrbConfig = orb.OrbConfig(),
+) -> FrameData:
+    kp_l = orb.extract(img_l, cfg)
+    kp_r = orb.extract(img_r, cfg)
+    pyr_l = image.build_pyramid(img_l, cfg.n_levels, cfg.scale)
+    pyr_r = image.build_pyramid(img_r, cfg.n_levels, cfg.scale)
+    u_right, depth = stereo.match_stereo(kp_l, kp_r, pyr_l, pyr_r, cam, cfg)
+    feats = FrameFeatures(
+        xy=kp_l.xy,
+        ur=u_right,
+        octave=kp_l.octave,
+        angle=kp_l.angle,
+        desc=kp_l.desc,
+        valid=kp_l.valid,
+    )
+    return FrameData(feats=feats, depth=depth, right=kp_r)

@@ -1,0 +1,249 @@
+"""The SLAM map as a struct-of-arrays store with fixed capacities.
+
+Replaces the pointer-graph data model of the reference (`Map`, `KeyFrame`,
+`MapPoint` — src/Map.cc, src/KeyFrame.cc, src/MapPoint.cc) with flat arrays:
+
+- keyframes: pose + full feature snapshot `kf_*[K, N_KP, ...]`,
+- map points: position/descriptor/normal/scale-range/stats `pt_*[P, ...]`,
+- observations: a single source of truth `kf_pt_ids[K, N_KP]` (point id per
+  keyframe feature slot, -1 for none) — the transpose of the reference's
+  per-point `mObservations` maps and per-KF `mvpMapPoints` vectors at once.
+
+Covisibility (KeyFrame::UpdateConnections, KeyFrame.cc:312-402) becomes a
+shared-point count over `kf_pt_ids`; per-point distinctive descriptors
+(MapPoint::ComputeDistinctiveDescriptors, MapPoint.cc:242-307), viewing
+normals and scale-invariance ranges (UpdateNormalAndDepth, MapPoint.cc:330-383)
+are batched recomputations over the observation arrays.
+
+Bookkeeping runs host-side in numpy at keyframe rate (not per frame); all
+per-frame compute takes device views of these arrays.
+
+Threading note: the reference guards this store with `Map::mMutexMapUpdate` +
+per-object mutexes (SURVEY.md §5.2). The rebuild's schedule is deterministic
+(track -> map update -> BA in order), so no locks exist by construction.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..geometry.camera import StereoCamera
+from ..ops.orb import OrbConfig
+
+
+class MapStore:
+    def __init__(
+        self,
+        cam: StereoCamera,
+        cfg: OrbConfig,
+        max_kf: int = 512,
+        max_pt: int = 120_000,
+    ):
+        self.cam = cam
+        self.cfg = cfg
+        self.max_kf = max_kf
+        self.max_pt = max_pt
+        n = cfg.max_kp
+        self.n_kp = n
+
+        # keyframes
+        self.kf_pose = np.zeros((max_kf, 4, 4), np.float32)  # T_cw
+        self.kf_valid = np.zeros(max_kf, bool)
+        self.kf_frame_id = np.full(max_kf, -1, np.int64)
+        self.kf_timestamp = np.zeros(max_kf, np.float64)
+        self.kf_xy = np.zeros((max_kf, n, 2), np.float32)
+        self.kf_ur = np.full((max_kf, n), -1.0, np.float32)
+        self.kf_depth = np.full((max_kf, n), -1.0, np.float32)
+        self.kf_oct = np.zeros((max_kf, n), np.int32)
+        self.kf_angle = np.zeros((max_kf, n), np.float32)
+        self.kf_desc = np.zeros((max_kf, n, 8), np.uint32)
+        self.kf_kp_valid = np.zeros((max_kf, n), bool)
+        self.kf_pt_ids = np.full((max_kf, n), -1, np.int32)  # observations
+        self.n_kf = 0
+
+        # map points
+        self.pt_pos = np.zeros((max_pt, 3), np.float32)
+        self.pt_desc = np.zeros((max_pt, 8), np.uint32)
+        self.pt_normal = np.zeros((max_pt, 3), np.float32)
+        self.pt_min_dist = np.zeros(max_pt, np.float32)
+        self.pt_max_dist = np.zeros(max_pt, np.float32)
+        self.pt_valid = np.zeros(max_pt, bool)
+        self.pt_first_kf = np.full(max_pt, -1, np.int32)
+        self.pt_visible = np.zeros(max_pt, np.int32)
+        self.pt_found = np.zeros(max_pt, np.int32)
+        self.n_pt = 0
+
+    # ------------------------------------------------------------------
+    # insertion
+    # ------------------------------------------------------------------
+
+    def add_keyframe(self, T_cw, feats_np, depth_np, pt_ids, frame_id, timestamp=0.0) -> int:
+        """feats_np: dict of numpy arrays (xy, ur, octave, angle, desc, valid).
+        pt_ids: (N,) int32 current point association per feature (-1 none)."""
+        assert self.n_kf < self.max_kf, "keyframe capacity exhausted"
+        k = self.n_kf
+        self.kf_pose[k] = T_cw
+        self.kf_valid[k] = True
+        self.kf_frame_id[k] = frame_id
+        self.kf_timestamp[k] = timestamp
+        self.kf_xy[k] = feats_np["xy"]
+        self.kf_ur[k] = feats_np["ur"]
+        self.kf_depth[k] = depth_np
+        self.kf_oct[k] = feats_np["octave"]
+        self.kf_angle[k] = feats_np["angle"]
+        self.kf_desc[k] = feats_np["desc"]
+        self.kf_kp_valid[k] = feats_np["valid"]
+        self.kf_pt_ids[k] = pt_ids
+        self.n_kf += 1
+        return k
+
+    def create_points(self, kf_id: int, feat_idx: np.ndarray, positions: np.ndarray) -> np.ndarray:
+        """Allocate new map points observed by (kf_id, feat_idx). Returns ids."""
+        m = len(feat_idx)
+        assert self.n_pt + m <= self.max_pt, "point capacity exhausted"
+        ids = np.arange(self.n_pt, self.n_pt + m, dtype=np.int32)
+        self.pt_pos[ids] = positions
+        self.pt_desc[ids] = self.kf_desc[kf_id, feat_idx]
+        self.pt_valid[ids] = True
+        self.pt_first_kf[ids] = kf_id
+        self.pt_visible[ids] = 1
+        self.pt_found[ids] = 1
+        self.kf_pt_ids[kf_id, feat_idx] = ids
+        self.n_pt += m
+        self._update_point_geometry(ids)
+        return ids
+
+    # ------------------------------------------------------------------
+    # observation-derived updates
+    # ------------------------------------------------------------------
+
+    def observations_of(self, pt_ids: np.ndarray):
+        """(kf_idx, feat_idx) arrays of all observations of the given points
+        among valid keyframes. Also returns the matching pt id per row."""
+        K = self.n_kf
+        mask = np.isin(self.kf_pt_ids[:K], pt_ids) & (self.kf_pt_ids[:K] >= 0)
+        kf_idx, feat_idx = np.nonzero(mask)
+        return kf_idx, feat_idx, self.kf_pt_ids[kf_idx, feat_idx]
+
+    def n_obs(self, pt_ids: np.ndarray) -> np.ndarray:
+        """Observation count per point; stereo observations count +2, mono +1
+        (MapPoint::AddObservation, MapPoint.cc:96-115)."""
+        pt_ids = np.asarray(pt_ids)
+        kf_idx, feat_idx, obs_pt = self.observations_of(pt_ids)
+        w = np.where(self.kf_ur[kf_idx, feat_idx] >= 0, 2, 1).astype(np.int32)
+        uniq, inv = np.unique(pt_ids, return_inverse=True)
+        pos = np.searchsorted(uniq, obs_pt)
+        counts_u = np.zeros(len(uniq), np.int32)
+        np.add.at(counts_u, pos, w)
+        return counts_u[inv].reshape(pt_ids.shape)
+
+    def _update_point_geometry(self, pt_ids: np.ndarray):
+        """Recompute distinctive descriptor, viewing normal, scale range
+        (MapPoint.cc:242-307, 330-383) for the given points."""
+        if len(pt_ids) == 0:
+            return
+        kf_idx, feat_idx, obs_pt = self.observations_of(pt_ids)
+        scale_factors = np.asarray(self.cfg.scale_factors(), np.float32)
+        for p in np.asarray(pt_ids):
+            sel = obs_pt == p
+            if not sel.any():
+                continue
+            kfs = kf_idx[sel]
+            fts = feat_idx[sel]
+            # distinctive descriptor: min median Hamming to the others
+            descs = self.kf_desc[kfs, fts]  # (m, 8) uint32
+            if len(descs) == 1:
+                self.pt_desc[p] = descs[0]
+            else:
+                x = descs[:, None, :] ^ descs[None, :, :]
+                dist = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+                med = np.median(dist, axis=1)
+                self.pt_desc[p] = descs[np.argmin(med)]
+            # normal: mean unit ray from KF centers
+            centers = np.stack(
+                [
+                    -self.kf_pose[k, :3, :3].T @ self.kf_pose[k, :3, 3]
+                    for k in kfs
+                ]
+            )
+            rays = self.pt_pos[p][None] - centers
+            nr = np.linalg.norm(rays, axis=-1, keepdims=True)
+            rays = rays / np.maximum(nr, 1e-9)
+            nrm = rays.mean(axis=0)
+            self.pt_normal[p] = nrm / max(np.linalg.norm(nrm), 1e-9)
+            # scale range from the reference KF (first obs here)
+            k0, f0 = kfs[0], fts[0]
+            c0 = -self.kf_pose[k0, :3, :3].T @ self.kf_pose[k0, :3, 3]
+            d0 = float(np.linalg.norm(self.pt_pos[p] - c0))
+            lvl = int(self.kf_oct[k0, f0])
+            max_d = d0 * scale_factors[lvl]
+            min_d = max_d / scale_factors[-1]
+            # +-20% slack applied at use (MapPoint.cc:376-383 0.8/1.2 factors)
+            self.pt_max_dist[p] = 1.2 * max_d
+            self.pt_min_dist[p] = 0.8 * min_d
+
+    def covisible_kfs(self, kf_id: int, min_shared: int = 15, top: int | None = None):
+        """Keyframes sharing >= min_shared map points with kf_id, sorted by
+        count descending (KeyFrame::UpdateConnections semantics w/ th=15,
+        KeyFrame.cc:353)."""
+        K = self.n_kf
+        mine = self.kf_pt_ids[kf_id]
+        mine_set = np.unique(mine[mine >= 0])
+        if len(mine_set) == 0:
+            return np.zeros(0, np.int32), np.zeros(0, np.int32)
+        ids = self.kf_pt_ids[:K]
+        shared = (np.isin(ids, mine_set) & (ids >= 0)).sum(axis=1).astype(np.int32)
+        shared[kf_id] = 0
+        shared[~self.kf_valid[:K]] = 0
+        order = np.argsort(-shared)
+        sel = order[shared[order] >= min_shared]
+        if len(sel) == 0 and shared.max() > 0:
+            sel = order[:1]  # keep the best one (reference keeps max peer)
+        if top is not None:
+            sel = sel[:top]
+        return sel.astype(np.int32), shared[sel]
+
+    def cull_points(self, pt_ids: np.ndarray, current_kf: int):
+        """MapPointCulling (LocalMapping.cc:171-206): cull recently created
+        points with found/visible < 0.25, or too few observations 2 KFs after
+        creation."""
+        pt_ids = np.asarray(pt_ids)
+        pt_ids = pt_ids[self.pt_valid[pt_ids]]
+        if len(pt_ids) == 0:
+            return pt_ids
+        nobs = self.n_obs(pt_ids)
+        ratio = self.pt_found[pt_ids] / np.maximum(self.pt_visible[pt_ids], 1)
+        age = current_kf - self.pt_first_kf[pt_ids]
+        bad = (ratio < 0.25) | ((age >= 2) & (nobs <= 3))
+        culled = pt_ids[bad]
+        for p in culled:
+            self.remove_point(p)
+        return culled.astype(np.int32)
+
+    def remove_point(self, p: int):
+        self.pt_valid[p] = False
+        K = self.n_kf
+        mask = self.kf_pt_ids[:K] == p
+        self.kf_pt_ids[:K][mask] = -1
+
+    # ------------------------------------------------------------------
+    # views for device compute
+    # ------------------------------------------------------------------
+
+    def camera_center(self, kf_id: int) -> np.ndarray:
+        T = self.kf_pose[kf_id]
+        return -T[:3, :3].T @ T[:3, 3]
+
+    def local_window(self, kf_id: int, max_kf: int = 16):
+        """Covisibility window for local BA: (local_kfs, fixed_kfs).
+        Local = kf_id + top covisible; fixed = other KFs observing local
+        points (Optimizer.cc:988-1018). Gauge: fixed set, or oldest local."""
+        covis, _ = self.covisible_kfs(kf_id, min_shared=15, top=max_kf - 1)
+        local = np.concatenate([[kf_id], covis]).astype(np.int32)
+        local_pts = np.unique(self.kf_pt_ids[local])
+        local_pts = local_pts[local_pts >= 0]
+        kf_idx, _, _ = self.observations_of(local_pts)
+        all_kfs = np.unique(kf_idx)
+        fixed = np.setdiff1d(all_kfs, local).astype(np.int32)
+        return local, fixed, local_pts

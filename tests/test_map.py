@@ -1,0 +1,104 @@
+"""MapStore (slammap/map_store.py) bookkeeping tests.
+
+Covers the SoA replacements for the reference's pointer-graph map:
+observation counting (MapPoint::AddObservation semantics, MapPoint.cc:96-115),
+covisibility (KeyFrame::UpdateConnections, KeyFrame.cc:312-402), culling
+(LocalMapping::MapPointCulling, LocalMapping.cc:171-206), and the
+local-BA window (Optimizer.cc:988-1018).
+"""
+import numpy as np
+
+from lldslam_tpu.geometry.camera import StereoCamera
+from lldslam_tpu.ops.orb import OrbConfig
+from lldslam_tpu.slammap.map_store import MapStore
+
+CAM = StereoCamera(fx=500.0, fy=500.0, cx=320.0, cy=240.0, bf=200.0,
+                   width=640, height=480)
+
+
+def _store(max_kf=8, n_feat=None):
+    cfg = OrbConfig(n_features=256)
+    return MapStore(CAM, cfg, max_kf=max_kf, max_pt=4096)
+
+
+def _feats(n, rng, stereo_frac=1.0):
+    return {
+        "xy": rng.uniform(0, 600, (n, 2)).astype(np.float32),
+        "ur": np.where(rng.uniform(size=n) < stereo_frac,
+                       rng.uniform(0, 600, n), -1.0).astype(np.float32),
+        "octave": np.zeros(n, np.int32),
+        "angle": np.zeros(n, np.float32),
+        "desc": rng.integers(0, 2**32, (n, 8), dtype=np.uint64).astype(np.uint32),
+        "valid": np.ones(n, bool),
+    }
+
+
+def test_create_points_and_observations():
+    rng = np.random.default_rng(0)
+    s = _store()
+    n = s.n_kp
+    f = _feats(n, rng)
+    k0 = s.add_keyframe(np.eye(4, dtype=np.float32), f, np.full(n, 5.0, np.float32),
+                        np.full(n, -1, np.int32), frame_id=0)
+    ids = s.create_points(k0, np.arange(10), np.random.randn(10, 3).astype(np.float32) + [0, 0, 10])
+    assert s.n_pt == 10
+    assert (s.kf_pt_ids[k0, :10] == ids).all()
+    # stereo obs count 2x (MapPoint.cc:96-115)
+    nobs = s.n_obs(ids)
+    expect = np.where(f["ur"][:10] >= 0, 2, 1)
+    assert (nobs == expect).all()
+
+
+def test_covisibility_counts():
+    rng = np.random.default_rng(1)
+    s = _store()
+    n = s.n_kp
+    f0, f1, f2 = _feats(n, rng), _feats(n, rng), _feats(n, rng)
+    k0 = s.add_keyframe(np.eye(4, dtype=np.float32), f0, np.full(n, 5.0, np.float32),
+                        np.full(n, -1, np.int32), 0)
+    ids = s.create_points(k0, np.arange(40), rng.normal(size=(40, 3)).astype(np.float32) + [0, 0, 10])
+    # kf1 shares 20 points, kf2 shares 5
+    pt1 = np.full(n, -1, np.int32); pt1[:20] = ids[:20]
+    pt2 = np.full(n, -1, np.int32); pt2[:5] = ids[:5]
+    k1 = s.add_keyframe(np.eye(4, dtype=np.float32), f1, np.full(n, 5.0, np.float32), pt1, 1)
+    k2 = s.add_keyframe(np.eye(4, dtype=np.float32), f2, np.full(n, 5.0, np.float32), pt2, 2)
+    covis, counts = s.covisible_kfs(k0, min_shared=15)
+    assert list(covis) == [k1]
+    assert counts[0] == 20
+    covis_all, counts_all = s.covisible_kfs(k0, min_shared=3)
+    assert set(covis_all) == {k1, k2}
+
+
+def test_cull_points_low_found_ratio():
+    rng = np.random.default_rng(2)
+    s = _store()
+    n = s.n_kp
+    f = _feats(n, rng)
+    k0 = s.add_keyframe(np.eye(4, dtype=np.float32), f, np.full(n, 5.0, np.float32),
+                        np.full(n, -1, np.int32), 0)
+    ids = s.create_points(k0, np.arange(4), rng.normal(size=(4, 3)).astype(np.float32) + [0, 0, 10])
+    s.pt_visible[ids[0]] = 10
+    s.pt_found[ids[0]] = 1  # ratio 0.1 < 0.25 -> cull
+    culled = s.cull_points(ids, current_kf=k0)
+    assert ids[0] in culled
+    assert not s.pt_valid[ids[0]]
+    assert (s.kf_pt_ids[k0] != ids[0]).all()
+
+
+def test_local_window_includes_fixed_frontier():
+    rng = np.random.default_rng(3)
+    s = _store()
+    n = s.n_kp
+    k0 = s.add_keyframe(np.eye(4, dtype=np.float32), _feats(n, rng),
+                        np.full(n, 5.0, np.float32), np.full(n, -1, np.int32), 0)
+    ids = s.create_points(k0, np.arange(40), rng.normal(size=(40, 3)).astype(np.float32) + [0, 0, 10])
+    # k1 strongly covisible with k0; k2 weakly (observes 5 points)
+    pt1 = np.full(n, -1, np.int32); pt1[:30] = ids[:30]
+    pt2 = np.full(n, -1, np.int32); pt2[:5] = ids[:5]
+    k1 = s.add_keyframe(np.eye(4, dtype=np.float32), _feats(n, rng),
+                        np.full(n, 5.0, np.float32), pt1, 1)
+    k2 = s.add_keyframe(np.eye(4, dtype=np.float32), _feats(n, rng),
+                        np.full(n, 5.0, np.float32), pt2, 2)
+    local, fixed, local_pts = s.local_window(k1)
+    assert k0 in local and k1 in local
+    assert k2 in fixed  # observes local points but is not covisible enough
