@@ -1,0 +1,242 @@
+"""Bag-of-binary-words place recognition: batched vocabulary transform.
+
+Replaces DBoW2 (reference Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h):
+a hierarchical k-ary vocabulary over 256-bit ORB descriptors. The reference
+descends the tree per descriptor on the CPU (TemplatedVocabulary.h:1218-1260,
+Hamming-argmin among children per level); here the descent is one batched
+device program: L gather+popcount+argmin steps over all descriptors at once.
+
+Vocabulary sources:
+- `Vocabulary.load_text` parses the ORB-SLAM2 `ORBvoc.txt` format
+  (`k L scoring weighting` header, then one node per line:
+  `parent is_leaf d0..d31 weight`, TemplatedVocabulary.h:1338-1380). The
+  file itself ships outside the reference repo (build.sh:21-24).
+- `train` builds a vocabulary by hierarchical binary k-medians from sample
+  descriptors (the TemplatedVocabulary::create path: kmeans++ init +
+  bitwise-majority cluster centers, TemplatedVocabulary.h:434-550).
+
+TF-IDF weighting with L1 scoring (ScoringObject.cpp:23) to match the
+reference's `BowVector` semantics.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _popcount_rows(x: np.ndarray) -> np.ndarray:
+    """Row-wise popcount of packed uint32 arrays -> int."""
+    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+
+
+def _hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N, 8) x (M, 8) packed-uint32 Hamming distance matrix."""
+    x = a[:, None, :] ^ b[None, :, :]
+    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+
+
+def _majority_center(descs: np.ndarray) -> np.ndarray:
+    """Bitwise-majority 'mean' of packed descriptors
+    (DBoW2 FORB::meanValue semantics)."""
+    bits = np.unpackbits(descs.view(np.uint8), axis=-1)  # (n, 256)
+    maj = (bits.sum(0) * 2 >= len(bits)).astype(np.uint8)
+    return np.packbits(maj).view(np.uint32)
+
+
+@dataclass
+class Vocabulary:
+    """Flat-array hierarchical vocabulary.
+
+    node_children: (n_nodes, k) int32 child node id or -1,
+    node_desc:     (n_nodes, 8) uint32,
+    node_word:     (n_nodes,) int32 word id for leaves, -1 inside,
+    word_weight:   (n_words,) float32 idf weights,
+    k, L: branching factor and depth.
+    """
+
+    node_children: np.ndarray
+    node_desc: np.ndarray
+    node_word: np.ndarray
+    word_weight: np.ndarray
+    k: int
+    L: int
+
+    @property
+    def n_words(self) -> int:
+        return len(self.word_weight)
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def train(descs: np.ndarray, k: int = 10, L: int = 4, seed: int = 0,
+              min_cluster: int = 2) -> "Vocabulary":
+        """Hierarchical k-medians over packed descriptors (host, one-off)."""
+        rng = np.random.default_rng(seed)
+        children: list[list[int]] = [[]]
+        node_desc = [np.zeros(8, np.uint32)]
+        node_word: list[int] = [-1]
+
+        def kmeans(data: np.ndarray, kk: int):
+            """Binary k-medians; returns (centers, assignment)."""
+            n = len(data)
+            kk = min(kk, n)
+            # kmeans++-style seeding
+            centers = [data[rng.integers(n)]]
+            for _ in range(kk - 1):
+                d = np.min(
+                    np.stack([_popcount_rows(data ^ c[None]) for c in centers]),
+                    axis=0).astype(np.float64)
+                if d.sum() == 0:
+                    centers.append(data[rng.integers(n)])
+                    continue
+                centers.append(data[rng.choice(n, p=d / d.sum())])
+            centers = np.stack(centers)
+            assign = np.zeros(n, np.int64)
+            for _ in range(8):
+                dist = _hamming_np(data, centers)
+                new_assign = dist.argmin(1)
+                if (new_assign == assign).all():
+                    break
+                assign = new_assign
+                for c in range(len(centers)):
+                    sel = data[assign == c]
+                    if len(sel):
+                        centers[c] = _majority_center(sel)
+            return centers, assign
+
+        def build(node: int, data: np.ndarray, level: int):
+            if level == L or len(data) < min_cluster * 2:
+                node_word[node] = 0  # provisional; renumbered below
+                return
+            centers, assign = kmeans(data, k)
+            for c in range(len(centers)):
+                sel = data[assign == c]
+                if len(sel) == 0:
+                    continue
+                nid = len(node_desc)
+                node_desc.append(centers[c])
+                node_word.append(-1)
+                children.append([])
+                children[node].append(nid)
+                build(nid, sel, level + 1)
+
+        build(0, np.unique(descs, axis=0), 0)
+        n_nodes = len(node_desc)
+        ch = np.full((n_nodes, k), -1, np.int32)
+        for i, c in enumerate(children):
+            ch[i, : len(c)] = c
+        nw = np.asarray(node_word, np.int32)
+        leaves = np.nonzero(nw == 0)[0]
+        nw[:] = -1
+        nw[leaves] = np.arange(len(leaves), dtype=np.int32)
+        voc = Vocabulary(
+            node_children=ch,
+            node_desc=np.stack(node_desc),
+            node_word=nw,
+            word_weight=np.ones(len(leaves), np.float32),
+            k=k, L=L,
+        )
+        # idf weights from the training corpus (TemplatedVocabulary.h:
+        # setNodeWeights, TF_IDF)
+        words = voc.transform_words(descs)
+        n_docs = max(len(descs) // 500, 1)  # treat ~500-desc chunks as docs
+        counts = np.bincount(words, minlength=voc.n_words)
+        idf = np.log(max(len(descs), 1) / np.maximum(counts, 1))
+        voc.word_weight = idf.astype(np.float32)
+        return voc
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def load_text(path: str | Path) -> "Vocabulary":
+        """ORBvoc.txt loader (TemplatedVocabulary.h:1338-1380 format)."""
+        with open(path) as f:
+            header = f.readline().split()
+            k, L = int(header[0]), int(header[1])
+            parents, leaves, descs, weights = [], [], [], []
+            for line in f:
+                parts = line.split()
+                if len(parts) < 35:
+                    continue
+                parents.append(int(parts[0]))
+                leaves.append(int(parts[1]))
+                descs.append(np.array([int(x) for x in parts[2:34]], np.uint8))
+                weights.append(float(parts[34]))
+        n = len(parents) + 1
+        node_desc = np.zeros((n, 8), np.uint32)
+        node_desc[1:] = np.packbits(
+            np.unpackbits(np.stack(descs), axis=-1), axis=-1
+        ).view(np.uint32).reshape(-1, 8)
+        kk = k
+        children: list[list[int]] = [[] for _ in range(n)]
+        for i, p in enumerate(parents):
+            children[p].append(i + 1)
+        ch = np.full((n, kk), -1, np.int32)
+        for i, c in enumerate(children):
+            ch[i, : len(c)] = c[:kk]
+        node_word = np.full(n, -1, np.int32)
+        leaf_ids = np.nonzero(np.array([0] + leaves, np.int32))[0]
+        node_word[leaf_ids] = np.arange(len(leaf_ids), dtype=np.int32)
+        w = np.zeros(len(leaf_ids), np.float32)
+        weights_arr = np.array([0.0] + weights, np.float32)
+        w[:] = weights_arr[leaf_ids]
+        return Vocabulary(ch, node_desc, node_word, w, kk, L)
+
+    # ------------------------------------------------------------------
+
+    def device_arrays(self):
+        return (jnp.asarray(self.node_children), jnp.asarray(self.node_desc),
+                jnp.asarray(self.node_word))
+
+    def transform_words(self, descs: np.ndarray, valid: np.ndarray | None = None
+                        ) -> np.ndarray:
+        """Word id per descriptor (batched tree descent on device)."""
+        ch, nd, nw = self.device_arrays()
+        words = _descend(ch, nd, nw, jnp.asarray(descs), self.L)
+        words = np.asarray(words)
+        if valid is not None:
+            words = np.where(valid, words, -1)
+        return words
+
+    def bow_vector(self, descs: np.ndarray, valid: np.ndarray | None = None):
+        """(word_ids sorted unique, l1-normalized tf-idf values)."""
+        words = self.transform_words(descs, valid)
+        words = words[words >= 0]
+        ids, counts = np.unique(words, return_counts=True)
+        vals = counts.astype(np.float32) * self.word_weight[ids]
+        s = vals.sum()
+        if s > 0:
+            vals = vals / s
+        return ids.astype(np.int32), vals
+
+
+@partial(jax.jit, static_argnames=("L",))
+def _descend(node_children, node_desc, node_word, descs, L: int):
+    """Batched tree descent: L levels of gather + Hamming argmin.
+
+    descs: (N, 8) uint32. Returns (N,) int32 word ids (-1 if the walk dies
+    on a childless node before reaching a leaf).
+    """
+    n = descs.shape[0]
+    node = jnp.zeros(n, jnp.int32)
+
+    def popcount8(x):
+        return jax.lax.population_count(x).sum(-1).astype(jnp.int32)
+
+    def step(_, node):
+        ch = node_children[node]                    # (N, k)
+        cd = node_desc[jnp.maximum(ch, 0)]          # (N, k, 8)
+        dist = popcount8(cd ^ descs[:, None, :])    # (N, k)
+        dist = jnp.where(ch >= 0, dist, 1 << 30)
+        best = jnp.argmin(dist, axis=-1)
+        nxt = jnp.take_along_axis(ch, best[:, None], axis=-1)[:, 0]
+        # stay put when there are no children (already at a leaf)
+        return jnp.where(ch[:, 0] >= 0, nxt, node)
+
+    node = jax.lax.fori_loop(0, L, step, node)
+    return node_word[node]

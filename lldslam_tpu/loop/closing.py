@@ -1,0 +1,344 @@
+"""Loop closing: detection, Sim(3) verification, and map-wide correction.
+
+Replaces the LoopClosing thread (reference src/LoopClosing.cc) with a
+deterministic per-keyframe step invoked by the tracker:
+
+1. DetectLoop (LoopClosing.cc:105-231): BoW minScore over covisible KFs,
+   database candidates, 3-consecutive covisibility-consistency groups.
+2. ComputeSim3 (LoopClosing.cc:233-402): descriptor match between the two
+   KFs' point-carrying features, batched Horn Sim3 RANSAC (>= 20 inliers
+   accept gate; the reference then demands >= 40 after guided matching).
+3. CorrectLoop (LoopClosing.cc:404-587): essential-graph optimization over
+   all keyframes (sequential spanning chain + strong-covisibility edges +
+   the loop edge), point remap through each point's anchor keyframe, then
+   global bundle adjustment (RunGlobalBundleAdjustment, LoopClosing.cc:
+   647-751) on the matrix-free CG path.
+
+Scale is fixed (stereo, LoopClosing.cc:276): Sim3 with s=1 everywhere, but
+the pose-graph state stays Sim(3) to mirror the reference's machinery (and
+support monocular later).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..ops import hamming
+from ..optim import ba, pose_graph, sim3_solver
+from ..slammap.map_store import MapStore
+from .bow import Vocabulary
+from .database import KeyFrameDatabase
+
+
+@dataclass
+class LoopEvent:
+    query_kf: int
+    matched_kf: int
+    n_inliers: int
+
+
+class LoopCloser:
+    def __init__(self, store: MapStore, voc: Vocabulary, cfg: SlamConfig,
+                 covisibility_consistency_th: int = 3,
+                 gba_obs_cap: int = 1 << 18):
+        self.store = store
+        self.voc = voc
+        self.cfg = cfg
+        self.db = KeyFrameDatabase(voc)
+        self.consistent_groups: list[tuple[set, int]] = []
+        self.covis_th = covisibility_consistency_th
+        self.last_loop_kf = -10**9
+        self.events: list[LoopEvent] = []
+        self.gba_obs_cap = gba_obs_cap
+        self._inv_sigma2 = np.power(
+            1.0 / store.cfg.scale ** 2, np.arange(store.cfg.n_levels)
+        ).astype(np.float32)
+        self._key = jax.random.PRNGKey(0)
+
+    # ------------------------------------------------------------------
+
+    def _kf_bow(self, kf_id: int):
+        s = self.store
+        valid = s.kf_kp_valid[kf_id]
+        return self.voc.bow_vector(s.kf_desc[kf_id], valid)
+
+    def process_keyframe(self, kf_id: int) -> bool:
+        """Run the loop pipeline for a new keyframe. Returns True when a loop
+        was detected and the map corrected."""
+        ids, vals = self._kf_bow(kf_id)
+        candidate = self._detect(kf_id, ids, vals)
+        corrected = False
+        if candidate is not None:
+            res = self._compute_sim3(kf_id, candidate)
+            if res is not None:
+                S_cm, n_inl = res
+                self._correct(kf_id, candidate, S_cm)
+                self.events.append(LoopEvent(kf_id, candidate, n_inl))
+                self.last_loop_kf = kf_id
+                self.consistent_groups = []
+                corrected = True
+        self.db.add(kf_id, ids, vals)
+        return corrected
+
+    # ------------------------------------------------------------------
+
+    def _detect(self, kf_id: int, ids, vals) -> int | None:
+        s = self.store
+        if kf_id < self.last_loop_kf + 10 or s.n_kf < 12:
+            return None
+        covis, _ = s.covisible_kfs(kf_id, min_shared=15)
+        connected = set(int(c) for c in covis)
+        if not connected:
+            return None
+        min_score = min(
+            (self.db.score_vs(ids, vals, c) for c in connected
+             if c in self.db.kf_words), default=1.0)
+
+        def groups_fn(kf: int):
+            return [int(x) for x in s.covisible_kfs(int(kf), min_shared=15)[0]]
+
+        cands = self.db.detect_loop_candidates_vec(
+            ids, vals, max(min_score, 1e-3), connected | {kf_id}, groups_fn)
+        if not cands:
+            self.consistent_groups = []
+            return None
+        # covisibility-consistency over consecutive keyframes
+        # (LoopClosing.cc:154-213)
+        enough: list[int] = []
+        new_groups: list[tuple[set, int]] = []
+        for cand in cands:
+            group = set(groups_fn(cand)) | {cand}
+            matched = False
+            for prev_group, count in self.consistent_groups:
+                if group & prev_group:
+                    new_groups.append((group, count + 1))
+                    if count + 1 >= self.covis_th:
+                        enough.append(cand)
+                    matched = True
+                    break
+            if not matched:
+                new_groups.append((group, 0))
+        self.consistent_groups = new_groups
+        return enough[0] if enough else None
+
+    # ------------------------------------------------------------------
+
+    def _compute_sim3(self, kf_c: int, kf_m: int):
+        """Descriptor match + batched Horn RANSAC between keyframes.
+        Returns (S_cm aligning m's camera frame into c's, inliers) or None."""
+        s = self.store
+        cam = s.cam
+        has_c = s.kf_kp_valid[kf_c] & (s.kf_pt_ids[kf_c] >= 0)
+        has_m = s.kf_kp_valid[kf_m] & (s.kf_pt_ids[kf_m] >= 0)
+        idx, ok, _ = hamming.match_descriptors(
+            jnp.asarray(s.kf_desc[kf_c]), jnp.asarray(has_c),
+            jnp.asarray(s.kf_desc[kf_m]), jnp.asarray(has_m),
+            max_dist=hamming.TH_LOW, ratio=0.75)
+        idx, ok = np.asarray(idx), np.asarray(ok)
+        sel_c = np.nonzero(ok)[0]
+        if len(sel_c) < 20:
+            return None
+        sel_m = idx[sel_c]
+        pc = s.pt_pos[s.kf_pt_ids[kf_c, sel_c]]
+        pm = s.pt_pos[s.kf_pt_ids[kf_m, sel_m]]
+        Tc, Tm = s.kf_pose[kf_c], s.kf_pose[kf_m]
+        X1 = (Tc[:3, :3] @ pc.T).T + Tc[:3, 3]
+        X2 = (Tm[:3, :3] @ pm.T).T + Tm[:3, 3]
+        uv1 = s.kf_xy[kf_c, sel_c]
+        uv2 = s.kf_xy[kf_m, sel_m]
+        s2_1 = (1.0 / self._inv_sigma2)[s.kf_oct[kf_c, sel_c]]
+        s2_2 = (1.0 / self._inv_sigma2)[s.kf_oct[kf_m, sel_m]]
+        # pad to a fixed bucket so loop events reuse one compiled program
+        cap = 512
+        n = min(len(sel_c), cap)
+
+        def pad(a, fill=0.0):
+            out = np.full((cap,) + a.shape[1:], fill, a.dtype)
+            out[:n] = a[:n]
+            return out
+
+        self._key, key = jax.random.split(self._key)
+        (R, t, sc), inl, n_inl = sim3_solver.ransac_sim3(
+            cam, cam,
+            jnp.asarray(pad(X1.astype(np.float32))),
+            jnp.asarray(pad(X2.astype(np.float32))),
+            jnp.asarray(pad(uv1.astype(np.float32))),
+            jnp.asarray(pad(uv2.astype(np.float32))),
+            jnp.asarray(pad(s2_1, 1.0)), jnp.asarray(pad(s2_2, 1.0)),
+            jnp.asarray(np.arange(cap) < n), key)
+        n_inl = int(n_inl)
+        if n_inl < 20:  # accept gate (LoopClosing.cc:328-331)
+            return None
+        return (np.asarray(R), np.asarray(t), float(sc)), n_inl
+
+    # ------------------------------------------------------------------
+
+    def _correct(self, kf_c: int, kf_m: int, S_cm):
+        """Essential-graph optimization + point remap + global BA."""
+        s = self.store
+        K = s.n_kf
+        R_cm, t_cm, s_cm = S_cm
+        poses_old = s.kf_pose[:K].copy()
+
+        # corrected current pose: S_cw = S_cm * S_mw (LoopClosing.cc:275-290)
+        Tm = poses_old[kf_m]
+        R_corr = R_cm @ Tm[:3, :3]
+        t_corr = s_cm * (R_cm @ Tm[:3, 3]) + t_cm
+
+        # vertices: current estimates, with the current KF re-anchored
+        R0 = poses_old[:, :3, :3].copy()
+        t0 = poses_old[:, :3, 3].copy()
+        s0 = np.ones(K, np.float32)
+        R0[kf_c] = R_corr
+        t0[kf_c] = t_corr
+
+        # edges: sequential chain + strong covisibility + loop edge, with
+        # measurements from the pre-correction relative poses
+        e_i, e_j, mR, mt, ms = [], [], [], [], []
+
+        def add_edge(i, j, Ti, Tj):
+            M = Ti @ np.linalg.inv(Tj)
+            e_i.append(i); e_j.append(j)
+            mR.append(M[:3, :3].copy()); mt.append(M[:3, 3].copy()); ms.append(1.0)
+
+        for k in range(1, K):
+            add_edge(k, k - 1, poses_old[k], poses_old[k - 1])
+        # strong covisibility (weight >= 100, Optimizer.cc:1546)
+        for k in range(K):
+            covis, counts = s.covisible_kfs(k, min_shared=100)
+            for c, w in zip(covis, counts):
+                if c < k - 1:  # avoid duplicating chain edges / symmetry
+                    add_edge(k, int(c), poses_old[k], poses_old[int(c)])
+        # loop edge c <- m with measurement S_cm
+        e_i.append(kf_c); e_j.append(kf_m)
+        mR.append(R_cm); mt.append(t_cm); ms.append(s_cm)
+
+        E = len(e_i)
+        ecap = ((E + 255) // 256) * 256
+        kcap = ((K + 63) // 64) * 64
+
+        def padk(a, shape_tail, fill=0.0, dtype=np.float32):
+            out = np.full((kcap,) + shape_tail, fill, dtype)
+            out[:K] = a
+            return out
+
+        def pade(a, shape_tail, fill=0.0, dtype=np.float32):
+            arr = np.asarray(a, dtype)
+            out = np.full((ecap,) + shape_tail, fill, dtype)
+            out[:E] = arr
+            return out
+
+        Rpad = padk(R0, (3, 3))
+        Rpad[K:] = np.eye(3, dtype=np.float32)
+        mR_pad = pade(np.stack(mR), (3, 3))
+        # identity (not zero) measurements on padding edges: log() of a
+        # zero-matrix composition is NaN and NaN * 0-weight still poisons
+        # the scattered Hessian
+        mR_pad[E:] = np.eye(3, dtype=np.float32)
+        fixed = np.zeros(kcap, bool)
+        fixed[kf_m] = True  # gauge: loop keyframe (Optimizer.cc:1442)
+        fixed[K:] = True
+        g = pose_graph.PoseGraph(
+            R=jnp.asarray(Rpad),
+            t=jnp.asarray(padk(t0, (3,))),
+            s=jnp.asarray(padk(s0, (), 1.0)),
+            fixed=jnp.asarray(fixed),
+            e_i=jnp.asarray(pade(e_i, (), 0, np.int32)),
+            e_j=jnp.asarray(pade(e_j, (), 0, np.int32)),
+            m_R=jnp.asarray(mR_pad),
+            m_t=jnp.asarray(pade(np.stack(mt), (3,))),
+            m_s=jnp.asarray(pade(ms, (), 1.0)),
+            e_valid=jnp.asarray(np.arange(ecap) < E),
+        )
+        g_opt = pose_graph.optimize_pose_graph(g, iters=15, cg_iters=48)
+        R_new = np.asarray(g_opt.R)[:K]
+        t_new = np.asarray(g_opt.t)[:K]
+        s_new = np.asarray(g_opt.s)[:K]
+
+        # write back SE3 poses (Sim3 -> SE3: t/s, Optimizer.cc:1601-1612)
+        T_new = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+        T_new[:, :3, :3] = R_new
+        T_new[:, :3, 3] = t_new / s_new[:, None]
+
+        # remap points through their anchor KF (LoopClosing.cc:467-518):
+        # P' = S_new_anchor^-1 ( S_old_anchor (P) )
+        pids = np.nonzero(s.pt_valid[: s.n_pt])[0]
+        anchors = np.clip(s.pt_first_kf[pids], 0, K - 1)
+        P = s.pt_pos[pids]
+        To = poses_old[anchors]
+        Xa = np.einsum("nij,nj->ni", To[:, :3, :3], P) + To[:, :3, 3]
+        # inverse of corrected Sim3 (R,t,s): X_w = R^T (s^-1)(Xa - t)
+        Rn = R_new[anchors]
+        tn = t_new[anchors]
+        sn = s_new[anchors]
+        Xw = np.einsum("nji,nj->ni", Rn, (Xa - tn) / sn[:, None])
+        s.pt_pos[pids] = Xw.astype(np.float32)
+        s.kf_pose[:K] = T_new
+
+        # global BA (LoopClosing.cc:647-751 -> Optimizer.cc:312)
+        self.global_ba()
+
+    # ------------------------------------------------------------------
+
+    def global_ba(self, iters: int = 20, cg_iters: int = 64):
+        """Full-map BA on the matrix-free CG path (BundleAdjustment,
+        Optimizer.cc:321-560; 10 iterations, LoopClosing.cc:652)."""
+        s = self.store
+        K = s.n_kf
+        pids = np.nonzero(s.pt_valid[: s.n_pt])[0]
+        if K < 2 or len(pids) == 0:
+            return
+        pt_lut = np.full(s.max_pt, -1, np.int32)
+        pt_lut[pids] = np.arange(len(pids), dtype=np.int32)
+        kf_idx, feat_idx = np.nonzero(s.kf_pt_ids[:K] >= 0)
+        p_idx = pt_lut[s.kf_pt_ids[kf_idx, feat_idx]]
+        keep = p_idx >= 0
+        kf_idx, feat_idx, p_idx = kf_idx[keep], feat_idx[keep], p_idx[keep]
+        if len(kf_idx) > self.gba_obs_cap:
+            sel = np.linspace(0, len(kf_idx) - 1, self.gba_obs_cap).astype(int)
+            kf_idx, feat_idx, p_idx = kf_idx[sel], feat_idx[sel], p_idx[sel]
+        uv = s.kf_xy[kf_idx, feat_idx]
+        ur = s.kf_ur[kf_idx, feat_idx]
+        uvr = np.concatenate([uv, ur[:, None]], -1).astype(np.float32)
+        O = len(kf_idx)
+        ocap = ((O + 4095) // 4096) * 4096
+        kcap = ((K + 63) // 64) * 64
+        pcap = ((len(pids) + 2047) // 2048) * 2048
+
+        def pad(a, fill=0):
+            out = np.full((ocap,) + a.shape[1:], fill, a.dtype)
+            out[:O] = a
+            return out
+
+        poses = np.tile(np.eye(4, dtype=np.float32), (kcap, 1, 1))
+        poses[:K] = s.kf_pose[:K]
+        points = np.zeros((pcap, 3), np.float32)
+        points[: len(pids)] = s.pt_pos[pids]
+        fixed = np.zeros(kcap, bool)
+        fixed[0] = True
+        fixed[K:] = True
+        pvalid = np.zeros(pcap, bool)
+        pvalid[: len(pids)] = True
+        problem = ba.BAProblem(
+            poses=jnp.asarray(poses),
+            points=jnp.asarray(points),
+            pose_fixed=jnp.asarray(fixed),
+            point_valid=jnp.asarray(pvalid),
+            obs=ba.BAObs(
+                k=jnp.asarray(pad(kf_idx.astype(np.int32))),
+                p=jnp.asarray(pad(p_idx.astype(np.int32))),
+                uvr=jnp.asarray(pad(uvr)),
+                inv_sigma2=jnp.asarray(pad(
+                    self._inv_sigma2[s.kf_oct[kf_idx, feat_idx]], 1.0)),
+                is_stereo=jnp.asarray(pad(ur >= 0)),
+                valid=jnp.asarray(np.arange(ocap) < O),
+            ),
+        )
+        solved, chi2 = ba.ba_solve(s.cam, problem, iters=iters, dense=False,
+                                   cg_iters=cg_iters)
+        s.kf_pose[:K] = np.asarray(solved.poses)[:K]
+        s.pt_pos[pids] = np.asarray(solved.points)[: len(pids)]

@@ -1,0 +1,180 @@
+"""Deterministic local mapping: the keyframe-rate map update + local BA.
+
+Replaces the LocalMapping thread (`LocalMapping::Run`,
+reference src/LocalMapping.cc:48-113) with a synchronous step invoked by the
+tracker at keyframe creation:
+
+    recent-point culling (MapPointCulling, LocalMapping.cc:171-206)
+    -> local bundle adjustment (Optimizer::LocalBundleAdjustment,
+       Optimizer.cc:936-1388) as batched GN + dense Schur on device
+    -> outlier observation erasure (Optimizer.cc:1336-1358).
+
+The BA window mirrors the reference: the new KF + its covisible KFs are free,
+every other KF observing a window point is a fixed anchor
+(Optimizer.cc:988-1018). All problem arrays are padded to fixed capacities so
+the solver compiles exactly once.
+"""
+from __future__ import annotations
+
+from collections import deque
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..optim import ba
+from ..slammap.map_store import MapStore
+
+
+class LocalMapper:
+    def __init__(
+        self,
+        store: MapStore,
+        cfg: SlamConfig,
+        k_local: int = 16,
+        k_fixed: int = 8,
+        p_cap: int = 8192,
+        o_cap: int = 24576,
+        ba_interval: int = 1,
+    ):
+        self.store = store
+        self.cfg = cfg
+        self.cam = store.cam
+        self.k_local = k_local
+        self.k_fixed = k_fixed
+        self.k_cap = k_local + k_fixed
+        self.p_cap = p_cap
+        self.o_cap = o_cap
+        self.ba_interval = ba_interval
+        self._recent: deque = deque(maxlen=3)  # (kf_id, created point ids)
+        self._inv_sigma2 = np.power(
+            1.0 / store.cfg.scale ** 2, np.arange(store.cfg.n_levels)
+        ).astype(np.float32)
+        self._kf_count = 0
+
+    # ------------------------------------------------------------------
+
+    def note_created(self, kf_id: int, pt_ids: np.ndarray):
+        self._recent.append((kf_id, np.asarray(pt_ids)))
+
+    def process_keyframe(self, kf_id: int):
+        s = self.store
+        # newly created points of this KF enter the culling probation window
+        new_ids = s.kf_pt_ids[kf_id][(s.kf_pt_ids[kf_id] >= 0)
+                                     & (s.pt_first_kf[s.kf_pt_ids[kf_id].clip(0)] == kf_id)]
+        self.note_created(kf_id, new_ids)
+        # probation culling over the recent window (LocalMapping.cc:171-206)
+        for src_kf, ids in list(self._recent):
+            if len(ids):
+                s.cull_points(ids, current_kf=kf_id)
+        self._kf_count += 1
+        if s.n_kf >= 2 and self._kf_count % self.ba_interval == 0:
+            self.local_ba(kf_id)
+
+    # ------------------------------------------------------------------
+
+    def _build_problem(self, kf_id: int):
+        """Assemble the padded BAProblem for the covisibility window."""
+        s = self.store
+        local, fixed, local_pts = s.local_window(kf_id, max_kf=self.k_local)
+        if len(fixed) > self.k_fixed:
+            # keep the fixed KFs anchoring the most window observations
+            counts = (np.isin(s.kf_pt_ids[fixed], local_pts)
+                      & (s.kf_pt_ids[fixed] >= 0)).sum(axis=1)
+            fixed = fixed[np.argsort(-counts)[: self.k_fixed]]
+        if len(fixed) == 0 and len(local) > 1:
+            # gauge: freeze the oldest local KF (reference fixes KF 0 via the
+            # id==0 check, Optimizer.cc:1015-1017)
+            fixed = local[-1:]
+            local = local[:-1]
+        window = np.concatenate([local, fixed]).astype(np.int32)
+        n_free = len(local)
+        if len(local_pts) > self.p_cap:
+            local_pts = local_pts[-self.p_cap:]
+        pts = local_pts.astype(np.int32)
+
+        # observation table: every (window KF, feature) slot pointing into pts
+        pt_lut = np.full(s.max_pt, -1, np.int32)
+        pt_lut[pts] = np.arange(len(pts), dtype=np.int32)
+        okf, ofe = [], []
+        for wi, k in enumerate(window):
+            sel = np.nonzero(pt_lut[s.kf_pt_ids[k].clip(0)] >= 0)[0]
+            sel = sel[s.kf_pt_ids[k, sel] >= 0]
+            okf.append(np.full(len(sel), wi, np.int32))
+            ofe.append(sel.astype(np.int32))
+        okf = np.concatenate(okf)
+        ofe = np.concatenate(ofe)
+        if len(okf) > self.o_cap:
+            okf, ofe = okf[: self.o_cap], ofe[: self.o_cap]
+        kf_abs = window[okf]
+        p_idx = pt_lut[s.kf_pt_ids[kf_abs, ofe]]
+        uv = s.kf_xy[kf_abs, ofe]
+        ur = s.kf_ur[kf_abs, ofe]
+        uvr = np.concatenate([uv, ur[:, None]], -1).astype(np.float32)
+        inv_s2 = self._inv_sigma2[s.kf_oct[kf_abs, ofe]]
+        is_st = ur >= 0
+
+        O = len(okf)
+        K, P = self.k_cap, self.p_cap
+
+        def padk(a, fill=0):
+            return np.concatenate(
+                [a, np.full((K - len(a),) + a.shape[1:], fill, a.dtype)])
+
+        def pado(a, fill=0):
+            return np.concatenate(
+                [a, np.full((self.o_cap - O,) + a.shape[1:], fill, a.dtype)])
+
+        poses = padk(s.kf_pose[window])
+        poses[len(window):] = np.eye(4, dtype=np.float32)
+        pose_fixed = np.ones(K, bool)
+        pose_fixed[:n_free] = False
+        points = np.concatenate(
+            [s.pt_pos[pts], np.zeros((P - len(pts), 3), np.float32)])
+        point_valid = np.concatenate(
+            [s.pt_valid[pts], np.zeros(P - len(pts), bool)])
+        obs = ba.BAObs(
+            k=jnp.asarray(pado(okf)),
+            p=jnp.asarray(pado(p_idx)),
+            uvr=jnp.asarray(pado(uvr)),
+            inv_sigma2=jnp.asarray(pado(inv_s2.astype(np.float32), 1.0)),
+            is_stereo=jnp.asarray(pado(is_st)),
+            valid=jnp.asarray(pado(np.ones(O, bool))),
+        )
+        problem = ba.BAProblem(
+            poses=jnp.asarray(poses),
+            points=jnp.asarray(points),
+            pose_fixed=jnp.asarray(pose_fixed),
+            point_valid=jnp.asarray(point_valid),
+            obs=obs,
+        )
+        meta = dict(window=window, n_free=n_free, pts=pts,
+                    okf=okf, ofe=ofe, kf_abs=kf_abs, n_obs=O)
+        return problem, meta
+
+    def local_ba(self, kf_id: int):
+        """Run the windowed BA and write results back into the store."""
+        s = self.store
+        problem, meta = self._build_problem(kf_id)
+        if meta["n_obs"] < 30 or len(meta["pts"]) == 0:
+            return
+        solved, keep = ba.local_ba(self.cam, problem)
+        poses = np.asarray(solved.poses)
+        points = np.asarray(solved.points)
+        keep = np.asarray(keep)
+
+        window, n_free, pts = meta["window"], meta["n_free"], meta["pts"]
+        s.kf_pose[window[:n_free]] = poses[:n_free]
+        s.pt_pos[pts] = points[: len(pts)]
+        # erase outlier observations (Optimizer.cc:1336-1358)
+        O = meta["n_obs"]
+        bad = ~keep[:O]
+        if bad.any():
+            s.kf_pt_ids[meta["kf_abs"][bad], meta["ofe"][bad]] = -1
+            # points that lost every observation die
+            dead_cand = np.unique(pts[np.unique(
+                np.asarray(solved.obs.p)[:O][bad])])
+            if len(dead_cand):
+                nobs = s.n_obs(dead_cand)
+                s.remove_points(dead_cand[nobs == 0])

