@@ -44,7 +44,7 @@ def _make_sequence(cam, n_frames: int, n_pts: int = 1200, seed: int = 0):
     h = PS // 2
     frames = []
     T = np.eye(4, dtype=np.float32)
-    xi = np.array([0.0, 0.003, 0.0, 0.0, 0.0, -1.0], np.float32)  # ~10 m/s @10fps
+    xi = np.array([0.0, 0.0, -1.0, 0.0, 0.003, 0.0], np.float32)  # ~10 m/s fwd @10fps, slow yaw
     for _ in range(n_frames):
         imL = np.full((H, W), 15.0, np.float32)
         imR = np.full((H, W), 15.0, np.float32)
@@ -88,6 +88,12 @@ def main():
         sys.track_stereo(*frames[i], timestamp=i * 0.1)
     dt = time.perf_counter() - t0
     _log(f"bench: {n_meas} frames in {dt:.2f}s")
+    ms = sys.tracker.metrics[n_warm:]
+    _log("bench: avg build {:.1f}ms step {:.1f}ms kf {:.1f}ms ({} KFs)".format(
+        1e3 * np.mean([x.t_build for x in ms]),
+        1e3 * np.mean([x.t_step for x in ms]),
+        1e3 * np.sum([x.t_kf for x in ms]) / max(1, sum(x.new_kf for x in ms)),
+        sum(x.new_kf for x in ms)))
     fps = n_meas / dt
     print(json.dumps({
         "metric": "kitti_stereo_tracking_throughput",

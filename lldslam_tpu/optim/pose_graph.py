@@ -72,16 +72,21 @@ def optimize_pose_graph(g: PoseGraph, iters: int = 15, cg_iters: int = 48):
     K = g.R.shape[0]
     free = (~g.fixed).astype(g.t.dtype)
 
-    def gn_step(_, g):
+    def gn_step(carry, _):
+        g, lam = carry
         r, Ji, Jj = _edge_terms(g)
+        err_old = jnp.sum(r * r)
         H = jnp.zeros((K, 7, 7), g.t.dtype)
         H = H.at[g.e_i].add(jnp.einsum("eri,erj->eij", Ji, Ji))
         H = H.at[g.e_j].add(jnp.einsum("eri,erj->eij", Jj, Jj))
         b = jnp.zeros((K, 7), g.t.dtype)
         b = b.at[g.e_i].add(-jnp.einsum("eri,er->ei", Ji, r))
         b = b.at[g.e_j].add(-jnp.einsum("eri,er->ei", Jj, r))
-        # tiny LM damping (reference lambda_init = 1e-16, Optimizer.cc:1404)
-        H = H + 1e-6 * jnp.eye(7, dtype=g.t.dtype)[None]
+        # adaptive LM damping: the reference's g2o starts at 1e-16
+        # (Optimizer.cc:1404) but adapts per iteration; a fixed tiny damping
+        # in f32 lets CG amplify the chain's low-stiffness bending modes and
+        # pure GN oscillates/diverges once near the optimum.
+        H = H + lam * jnp.eye(7, dtype=g.t.dtype)[None]
         b = b * free[:, None]
 
         # block-Jacobi preconditioned CG on the full graph Hessian
@@ -121,9 +126,17 @@ def optimize_pose_graph(g: PoseGraph, iters: int = 15, cg_iters: int = 48):
             0, cg_iters, cg_body, (x0, b, z0, z0, jnp.sum(b * z0)))
         dx = x * free[:, None]
         Rn, tn, sn = sim3.compose(sim3.exp(dx), (g.R, g.t, g.s))
-        return g._replace(R=Rn, t=tn, s=sn)
+        cand = g._replace(R=Rn, t=tn, s=sn)
+        r_new, _, _ = _edge_terms(cand)
+        err_new = jnp.sum(r_new * r_new)
+        accept = err_new < err_old
+        g = jax.tree.map(lambda a, b_: jnp.where(accept, b_, a), g, cand)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 8.0), 1e-8, 1e4)
+        return (g, lam), None
 
-    return jax.lax.fori_loop(0, iters, gn_step, g)
+    (g, _), _ = jax.lax.scan(
+        gn_step, (g, jnp.asarray(1e-6, g.t.dtype)), None, length=iters)
+    return g
 
 
 def total_error(g: PoseGraph) -> jnp.ndarray:

@@ -29,7 +29,11 @@ def horn_sim3(P1: jnp.ndarray, P2: jnp.ndarray, fix_scale: bool = True):
     c2 = P2.mean(axis=-2)
     Pr1 = P1 - c1[..., None, :]
     Pr2 = P2 - c2[..., None, :]
-    M = jnp.einsum("...ni,...nj->...ij", Pr1, Pr2)
+    # M = sum Pr2 Pr1^T (Sim3Solver.cc:238: P2 * P1.t()): with the N-matrix
+    # below this yields R s.t. X1 = R X2; the Pr1 Pr2^T transpose yields R^T
+    # (caught by a real-rotation EPnP test; earlier tests used identity
+    # rotations via a tangent-ordering mixup and missed it)
+    M = jnp.einsum("...ni,...nj->...ij", Pr2, Pr1)
     Sxx, Sxy, Sxz = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
     Syx, Syy, Syz = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
     Szx, Szy, Szz = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]

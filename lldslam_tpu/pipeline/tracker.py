@@ -168,6 +168,11 @@ class TrackMetrics:
     new_kf: bool = False
     n_points: int = 0
     n_kfs: int = 0
+    # per-stage wall-clock (seconds): frame build+stats, fused track step
+    # (incl. device sync), keyframe path (map update + local BA + loop)
+    t_build: float = 0.0
+    t_step: float = 0.0
+    t_kf: float = 0.0
 
 
 class StereoTracker:
@@ -197,6 +202,7 @@ class StereoTracker:
         self._has_velocity = False
         self._view = None
         self._view_pid = None
+        self._reloc_key = jax.random.PRNGKey(7)
         # TrackReferenceKeyFrame matcher: global descriptor association with
         # ratio 0.7 + mutual check (SearchByBoW semantics, ORBmatcher.cc:159;
         # without the BoW-node gating, which only exists to prune CPU work)
@@ -218,16 +224,21 @@ class StereoTracker:
 
     def process(self, img_l: np.ndarray, img_r: np.ndarray, timestamp: float = 0.0):
         """Track one stereo pair; returns (T_cw (4,4) np, TrackMetrics)."""
+        import time as _time
         self.frame_id += 1
         m = TrackMetrics(frame_id=self.frame_id)
+        t0 = _time.perf_counter()
         fd = build_frame(jnp.asarray(img_l), jnp.asarray(img_r), self.cam, self.orb)
         m.n_kp = int(np.asarray(fd.feats.valid).sum())
         m.n_stereo = int(np.asarray(fd.feats.ur >= 0).sum())
+        m.t_build = _time.perf_counter() - t0
 
+        t0 = _time.perf_counter()
         if self.state == TrackState.NOT_INITIALIZED:
             self._initialize(fd, timestamp, m)
         else:
             self._track(fd, timestamp, m)
+        m.t_step = _time.perf_counter() - t0 - m.t_kf
 
         m.state = self.state.name
         m.n_points = int(self.store.pt_valid.sum())
@@ -377,7 +388,65 @@ class StereoTracker:
             self._inv_sigma2_lut, self.orb.n_levels, self.orb.scale,
             self.cfg.tracking.min_motion_matches, float(self.cfg.close_depth))
 
+    def _attempt_reloc(self, fd: FrameData):
+        """Relocalization (Tracking::Relocalization, Tracking.cc:1837-1998):
+        BoW reloc candidates -> per-candidate descriptor match -> batched
+        EPnP RANSAC -> robust pose opt. Returns T_cw or None."""
+        if self.loop_closer is None:
+            return None
+        from ..optim import pnp
+        s = self.store
+        voc, db = self.loop_closer.voc, self.loop_closer.db
+        desc = np.asarray(fd.feats.desc)
+        valid = np.asarray(fd.feats.valid)
+        ids, vals = voc.bow_vector(desc, valid)
+        cands = db.detect_reloc_candidates(ids, vals)[:5]
+        for kf in cands:
+            has_kf = s.kf_kp_valid[kf] & (s.kf_pt_ids[kf] >= 0)
+            idx, ok, _ = self._ref_match(
+                fd.feats.desc, fd.feats.valid,
+                jnp.asarray(s.kf_desc[kf]), jnp.asarray(has_kf))
+            idx, ok = np.asarray(idx), np.asarray(ok)
+            sel = np.nonzero(ok)[0]
+            if len(sel) < 15:  # SearchByBoW >= 15 gate (Tracking.cc:1873)
+                continue
+            pts = s.kf_pt_ids[kf, idx[sel]]
+            cap = 512
+            n = min(len(sel), cap)
+            Pw = np.zeros((cap, 3), np.float32)
+            uv = np.zeros((cap, 2), np.float32)
+            s2 = np.ones(cap, np.float32)
+            Pw[:n] = s.pt_pos[pts[:n]]
+            uv[:n] = np.asarray(fd.feats.xy)[sel[:n]]
+            oct_ = np.asarray(fd.feats.octave)[sel[:n]]
+            s2[:n] = self.orb.scale ** (2.0 * oct_)
+            self._reloc_key, key = jax.random.split(self._reloc_key)
+            T, inl, n_inl = pnp.ransac_pnp(
+                self.cam, jnp.asarray(Pw), jnp.asarray(uv), jnp.asarray(s2),
+                jnp.asarray(np.arange(cap) < n), key)
+            if int(n_inl) < 10:
+                continue
+            # robust refinement on the full candidate set (Tracking.cc:1936)
+            kp2pt = np.full(s.n_kp, -1, np.int32)
+            kp2pt[sel] = pts
+            pobs = _gather_pose_obs(
+                self.cam, jnp.asarray(s.pt_pos), jnp.asarray(kp2pt),
+                fd.feats, self._inv_sigma2_lut)
+            T2, _, _, n_in = pose_opt.optimize_pose(self.cam, T, pobs)
+            if int(n_in) >= 10:
+                self.ref_kf = kf
+                self._refresh_local_view()
+                self._refresh_ref_matches()
+                return np.asarray(T2).astype(np.float32)
+        return None
+
     def _track(self, fd: FrameData, timestamp: float, m: TrackMetrics):
+        if self.state == TrackState.LOST:
+            T_reloc = self._attempt_reloc(fd)
+            if T_reloc is not None:
+                self.T_cw = T_reloc
+                self.velocity = np.eye(4, dtype=np.float32)
+                self._has_velocity = False
         T_pred = (self.velocity @ self.T_cw).astype(np.float32)
         out = self._run_step(fd, T_pred)
         # next-frame device state (stays on device, no transfer)
@@ -434,7 +503,10 @@ class StereoTracker:
         new_kf = self._need_new_kf(n_in, int(tracked_close),
                                    int(untracked_close))
         if new_kf:
+            import time as _time
+            t0 = _time.perf_counter()
             self._create_kf(fd, kp2pt, timestamp)
+            m.t_kf = _time.perf_counter() - t0
             m.new_kf = True
         self._remember_frame(fd, kp2pt, dev_ptpos, dev_haspt,
                              refresh=new_kf)

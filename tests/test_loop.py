@@ -91,7 +91,7 @@ class TestSim3Solver:
     def test_horn_exact(self):
         rng = np.random.default_rng(0)
         R_true = np.asarray(se3.exp(jnp.asarray(
-            np.array([0.1, -0.2, 0.15, 0, 0, 0], np.float32))))[:3, :3]
+            np.array([0, 0, 0, 0.1, -0.2, 0.15], np.float32))))[:3, :3]
         t_true = np.array([0.5, -1.0, 2.0], np.float32)
         P2 = rng.uniform(-5, 5, (10, 3)).astype(np.float32)
         P1 = (R_true @ P2.T).T + t_true
@@ -112,7 +112,7 @@ class TestSim3Solver:
         rng = np.random.default_rng(2)
         n = 60
         R_true = np.asarray(se3.exp(jnp.asarray(
-            np.array([0.05, 0.1, -0.02, 0, 0, 0], np.float32))))[:3, :3]
+            np.array([0, 0, 0, 0.05, 0.1, -0.02], np.float32))))[:3, :3]
         t_true = np.array([0.3, 0.1, 0.5], np.float32)
         # points in front of both cameras
         P2 = np.stack([rng.uniform(-3, 3, n), rng.uniform(-2, 2, n),
@@ -147,7 +147,7 @@ class TestPoseGraph:
         gt = []
         for i in range(K):
             th = 2 * np.pi * i / K
-            xi = np.array([0, 0, th, 5 * np.cos(th), 5 * np.sin(th), 0.0],
+            xi = np.array([5 * np.cos(th), 5 * np.sin(th), 0.0, 0, 0, th],
                           np.float32)
             gt.append(np.asarray(se3.exp(jnp.asarray(xi))))
         gt = np.stack(gt)
@@ -160,8 +160,8 @@ class TestPoseGraph:
             Tj = gt[j].copy()
             M = Ti @ np.linalg.inv(Tj)
             if noise:
-                xi = rng.normal(0, 0.01, 6).astype(np.float32)
-                xi[3:] = rng.normal(0, 0.05, 3)
+                xi = rng.normal(0, 0.05, 6).astype(np.float32)
+                xi[3:] = rng.normal(0, 0.01, 3)
                 M = np.asarray(se3.exp(jnp.asarray(xi))) @ M
             e_i.append(i); e_j.append(j)
             mR.append(M[:3, :3]); mt.append(M[:3, 3]); ms.append(1.0)
@@ -171,9 +171,6 @@ class TestPoseGraph:
         add_edge(0, K - 1, noise=False)  # loop edge
 
         # initial estimate: integrate the noisy chain
-        est = [gt[0]]
-        for i in range(1, K):
-            est.append(mR and None or None)  # placeholder
         est = [gt[0]]
         for i in range(1, K):
             M = np.eye(4, dtype=np.float32)

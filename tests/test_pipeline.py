@@ -94,7 +94,7 @@ def test_synthetic_sequence_ate():
     T = np.eye(4, dtype=np.float32)
     for i in range(n_frames):
         gt.append(T.copy())
-        xi = np.array([0.0, 0.004, 0.0, 0.0, 0.0, -0.25], np.float32)
+        xi = np.array([0.0, 0.0, -0.25, 0.0, 0.004, 0.0], np.float32)
         T = np.asarray(se3.exp(jnp.asarray(xi)) @ jnp.asarray(T))
 
     est = []
