@@ -77,7 +77,8 @@ def main():
 
     n_warm, n_meas = 4, 30
     _log("bench: generating sequence...")
-    frames = _make_sequence(cam_cfg.stereo_camera(), n_warm + n_meas)
+    frames = _make_sequence(cam_cfg.stereo_camera(), n_warm + n_meas,
+                            n_pts=4000)
     _log("bench: warmup (first-compile)...")
     for i in range(n_warm):
         t = time.perf_counter()
@@ -94,6 +95,12 @@ def main():
         1e3 * np.mean([x.t_step for x in ms]),
         1e3 * np.sum([x.t_kf for x in ms]) / max(1, sum(x.new_kf for x in ms)),
         sum(x.new_kf for x in ms)))
+    if sys.tracker.kf_timings:
+        kt = sys.tracker.kf_timings
+        _log("bench: kf breakdown avg mapper {:.0f}ms loop {:.0f}ms view {:.0f}ms".format(
+            1e3 * np.mean([x["mapper"] for x in kt]),
+            1e3 * np.mean([x["loop"] for x in kt]),
+            1e3 * np.mean([x["view"] for x in kt])))
     fps = n_meas / dt
     print(json.dumps({
         "metric": "kitti_stereo_tracking_throughput",

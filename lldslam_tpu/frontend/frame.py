@@ -36,6 +36,10 @@ def build_frame(
     cam: StereoCamera,
     cfg: orb.OrbConfig = orb.OrbConfig(),
 ) -> FrameData:
+    # accept uint8 frames: callers upload 1 byte/px through the (slow)
+    # host->device link and the cast runs on device
+    img_l = img_l.astype(jnp.float32)
+    img_r = img_r.astype(jnp.float32)
     kp_l = orb.extract(img_l, cfg)
     kp_r = orb.extract(img_r, cfg)
     pyr_l = image.build_pyramid(img_l, cfg.n_levels, cfg.scale)

@@ -60,6 +60,7 @@ class LocalMapper:
 
     def process_keyframe(self, kf_id: int):
         s = self.store
+        s.refresh_obs_counts()
         # newly created points of this KF enter the culling probation window
         new_ids = s.kf_pt_ids[kf_id][(s.kf_pt_ids[kf_id] >= 0)
                                      & (s.pt_first_kf[s.kf_pt_ids[kf_id].clip(0)] == kf_id)]
@@ -176,5 +177,5 @@ class LocalMapper:
             dead_cand = np.unique(pts[np.unique(
                 np.asarray(solved.obs.p)[:O][bad])])
             if len(dead_cand):
-                nobs = s.n_obs(dead_cand)
-                s.remove_points(dead_cand[nobs == 0])
+                s.refresh_obs_counts()
+                s.remove_points(dead_cand[s.pt_nobs[dead_cand] == 0])

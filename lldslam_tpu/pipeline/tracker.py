@@ -141,8 +141,20 @@ def _track_step(
     close = (depth > 0) & (depth < close_depth) & cur.valid
     tracked_close = jnp.sum(close & final_ok)
     untracked_close = jnp.sum(close & ~final_ok)
-    return (T2, kp2last, kp2pt_l, final_ok, in_frustum, n_mm, n_in,
-            tracked_close, untracked_close, X2, final_ok)
+    n_kp = jnp.sum(cur.valid)
+    n_stereo = jnp.sum((cur.ur >= 0) & cur.valid)
+    # pack every host-bound integer output into ONE vector: each device_get
+    # leaf pays a full tunnel round trip, and 11 leaves of a few KB each
+    # cost ~10x the single 60 KB transfer
+    packed = jnp.concatenate([
+        jnp.stack([n_mm, n_in, tracked_close, untracked_close,
+                   n_kp, n_stereo]).astype(jnp.int32),
+        kp2last.astype(jnp.int32),
+        kp2pt_l.astype(jnp.int32),
+        final_ok.astype(jnp.int32),
+        in_frustum.astype(jnp.int32),
+    ])
+    return T2, packed, X2, final_ok
 
 
 @dataclass
@@ -192,6 +204,7 @@ class StereoTracker:
         self.frame_id = -1
         self.logs: list[FrameLog] = []
         self.metrics: list[TrackMetrics] = []
+        self.kf_timings: list[dict] = []
         # last-frame device state
         self._last_feats = None
         self._last_ptpos = None    # (N, 3) world position per keypoint
@@ -228,9 +241,11 @@ class StereoTracker:
         self.frame_id += 1
         m = TrackMetrics(frame_id=self.frame_id)
         t0 = _time.perf_counter()
+        # upload as uint8 when the source allows: 4x less tunnel traffic
+        if img_l.dtype == np.float32 and img_l.max(initial=0.0) <= 255.0:
+            img_l = img_l.astype(np.uint8)
+            img_r = img_r.astype(np.uint8)
         fd = build_frame(jnp.asarray(img_l), jnp.asarray(img_r), self.cam, self.orb)
-        m.n_kp = int(np.asarray(fd.feats.valid).sum())
-        m.n_stereo = int(np.asarray(fd.feats.ur >= 0).sum())
         m.t_build = _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
@@ -335,7 +350,8 @@ class StereoTracker:
         if len(ids) == 0:
             self._ref_matches = 0
             return
-        self._ref_matches = int((s.n_obs(ids) >= min_obs).sum())
+        s.refresh_obs_counts()
+        self._ref_matches = int((s.pt_nobs[ids] >= min_obs).sum())
 
     def _refresh_local_view(self):
         """Rebuild the padded MapPointView over the local map
@@ -440,6 +456,17 @@ class StereoTracker:
                 return np.asarray(T2).astype(np.float32)
         return None
 
+    def _unpack(self, packed: np.ndarray):
+        n = self.store.n_kp
+        p = self.local_pt_cap
+        scal = packed[:6]
+        o = 6
+        kp2last = packed[o:o + n]; o += n
+        kp2pt_l = packed[o:o + n]; o += n
+        ok = packed[o:o + n].astype(bool); o += n
+        in_frustum = packed[o:o + p].astype(bool)
+        return (*[int(x) for x in scal], kp2last, kp2pt_l, ok, in_frustum)
+
     def _track(self, fd: FrameData, timestamp: float, m: TrackMetrics):
         if self.state == TrackState.LOST:
             T_reloc = self._attempt_reloc(fd)
@@ -450,11 +477,13 @@ class StereoTracker:
         T_pred = (self.velocity @ self.T_cw).astype(np.float32)
         out = self._run_step(fd, T_pred)
         # next-frame device state (stays on device, no transfer)
-        dev_ptpos, dev_haspt = out[9], out[10]
-        (T_np, kp2last, kp2pt_l, ok, in_frustum, n_mm, n_in,
-         tracked_close, untracked_close) = jax.device_get(out[:9])
-        n_in = int(n_in)
+        dev_ptpos, dev_haspt = out[2], out[3]
+        T_np, packed = jax.device_get(out[:2])
+        (n_mm, n_in, tracked_close, untracked_close, n_kp, n_st,
+         kp2last, kp2pt_l, ok, in_frustum) = self._unpack(packed)
         m.n_motion_matches = int(n_mm)
+        m.n_kp = int(n_kp)
+        m.n_stereo = int(n_st)
 
         if n_in < self.cfg.tracking.min_track_inliers and self.ref_kf >= 0:
             # motion+local failed -> re-anchor on the reference KF
@@ -467,10 +496,10 @@ class StereoTracker:
                 T_fb, _, _, _ = pose_opt.optimize_pose(
                     self.cam, jnp.asarray(self.T_cw), pobs)
                 out = self._run_step(fd, np.asarray(T_fb))
-                dev_ptpos, dev_haspt = out[9], out[10]
-                (T_np, kp2last, kp2pt_l, ok, in_frustum, n_mm, n_in,
-                 tracked_close, untracked_close) = jax.device_get(out[:9])
-                n_in = int(n_in)
+                dev_ptpos, dev_haspt = out[2], out[3]
+                T_np, packed = jax.device_get(out[:2])
+                (n_mm, n_in, tracked_close, untracked_close, n_kp, n_st,
+                 kp2last, kp2pt_l, ok, in_frustum) = self._unpack(packed)
         m.n_inliers = n_in
 
         # global point id per keypoint: local-map association wins, else the
@@ -556,15 +585,22 @@ class StereoTracker:
             kp2pt[sel] = ids
         self.ref_kf = kf
         self.last_kf_frame = self.frame_id
+        import time as _time
+        t0 = _time.perf_counter()
         # deterministic local-mapping step (replaces the LocalMapping thread)
         self.mapper.process_keyframe(kf)
+        t1 = _time.perf_counter()
         # deterministic loop-closing step (replaces the LoopClosing thread)
         if self.loop_closer is not None:
             self.loop_closer.process_keyframe(kf)
+        t2 = _time.perf_counter()
         # refresh current pose from the (BA/loop-)corrected KF pose
         self.T_cw = s.kf_pose[kf].copy()
         self._refresh_local_view()
         self._refresh_ref_matches()
+        t3 = _time.perf_counter()
+        self.kf_timings.append(
+            dict(mapper=t1 - t0, loop=t2 - t1, view=t3 - t2))
 
     # ------------------------------------------------------------------
 

@@ -72,6 +72,10 @@ class MapStore:
         self.pt_first_kf = np.full(max_pt, -1, np.int32)
         self.pt_visible = np.zeros(max_pt, np.int32)
         self.pt_found = np.zeros(max_pt, np.int32)
+        # cached observation counts (stereo x2), refreshed at keyframe rate
+        # via refresh_obs_counts(); per-query n_obs() scans the whole
+        # observation table and dominated the per-KF host profile
+        self.pt_nobs = np.zeros(max_pt, np.int32)
         self.n_pt = 0
 
     # ------------------------------------------------------------------
@@ -137,6 +141,16 @@ class MapStore:
         counts_u = np.zeros(len(uniq), np.int32)
         np.add.at(counts_u, pos, w)
         return counts_u[inv].reshape(pt_ids.shape)
+
+    def refresh_obs_counts(self):
+        """One vectorized pass over the observation table -> pt_nobs."""
+        K = self.n_kf
+        ids = self.kf_pt_ids[:K]
+        sel = ids >= 0
+        w = np.where(self.kf_ur[:K] >= 0, 2, 1).astype(np.int32)
+        counts = np.zeros(self.max_pt, np.int32)
+        np.add.at(counts, ids[sel], w[sel])
+        self.pt_nobs = counts
 
     def _update_point_geometry(self, pt_ids: np.ndarray, max_obs: int = 12):
         """Recompute distinctive descriptor, viewing normal, scale range
@@ -222,7 +236,7 @@ class MapStore:
         pt_ids = pt_ids[self.pt_valid[pt_ids]]
         if len(pt_ids) == 0:
             return pt_ids
-        nobs = self.n_obs(pt_ids)
+        nobs = self.pt_nobs[pt_ids]
         ratio = self.pt_found[pt_ids] / np.maximum(self.pt_visible[pt_ids], 1)
         age = current_kf - self.pt_first_kf[pt_ids]
         bad = (ratio < 0.25) | ((age >= 2) & (nobs <= 3))
