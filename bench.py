@@ -90,6 +90,9 @@ def main():
     dt = time.perf_counter() - t0
     _log(f"bench: {n_meas} frames in {dt:.2f}s")
     ms = sys.tracker.metrics[n_warm:]
+    _log("bench: avg dispatch {:.1f}ms get {:.1f}ms".format(
+        1e3 * np.mean([x.t_dispatch for x in ms]),
+        1e3 * np.mean([x.t_get for x in ms])))
     _log("bench: avg build {:.1f}ms step {:.1f}ms kf {:.1f}ms ({} KFs)".format(
         1e3 * np.mean([x.t_build for x in ms]),
         1e3 * np.mean([x.t_step for x in ms]),

@@ -42,6 +42,9 @@ class LineDetConfig:
     band_offsets: int = 15        # perpendicular offsets (-7..7 px)
     n_bands: int = 5
     desc_dim: int = 40            # n_bands * 8
+    desc_thr: float = 0.6         # native-descriptor match gate (the
+                                  # reference's mdThr=2.0 is on LBDMOD's
+                                  # unnormalized LBD scale)
 
 
 class KeyLines(NamedTuple):
@@ -66,6 +69,7 @@ def _sobel(img: jnp.ndarray):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def detect_lines(img: jnp.ndarray, cfg: LineDetConfig = LineDetConfig()) -> KeyLines:
+    img = img.astype(jnp.float32)
     H, W = img.shape
     diag = float(np.hypot(H, W))
     n_rho = int(np.ceil(diag / cfg.rho_res))

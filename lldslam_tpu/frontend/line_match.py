@@ -152,7 +152,7 @@ def associate_lines(
     ln_valid: jnp.ndarray,  # (M,) bool
     fl: FrameLines,
     md_thr: float = 0.6,
-    reproj_thr: float = 4.0,
+    reproj_thr: float = 8.0,
 ):
     """Temporal line association (AddLinesFrom, Tracking.cc:996-1124 intent
     with the D1 Hough-grid gate replaced by a dense reprojection gate —

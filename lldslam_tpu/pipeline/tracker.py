@@ -157,6 +157,44 @@ def _track_step(
     return T2, packed, X2, final_ok
 
 
+@partial(jax.jit, static_argnames=("cam", "gamma", "md_thr"))
+def _line_step(
+    cam: StereoCamera,
+    T: jnp.ndarray,
+    ln_x0: jnp.ndarray,      # (M, 3) padded map-line view (world)
+    ln_d: jnp.ndarray,
+    ln_desc: jnp.ndarray,
+    ln_oct: jnp.ndarray,
+    ln_valid: jnp.ndarray,
+    fl,                       # line_match.FrameLines
+    pobs: pose_opt.PointPoseObs,
+    gamma: float,
+    md_thr: float,
+):
+    """Per-frame line association + joint point/line pose refinement
+    (AddLinesFrom + the line edges of PoseOptimization,
+    Tracking.cc:996-1124 / Optimizer.cc:653-931)."""
+    from ..frontend import line_match as lm
+
+    ln2det, det2ln = lm.associate_lines(
+        cam, T, ln_x0, ln_d, ln_desc, ln_oct, ln_valid, fl, md_thr=md_thr)
+    idx = jnp.maximum(det2ln, 0)
+    lobs = pose_opt.LinePoseObs(
+        X0=ln_x0[idx],
+        d=ln_d[idx],
+        x1_l=fl.kl.p1, x2_l=fl.kl.p2,
+        x1_r=fl.p1_r, x2_r=fl.p2_r,
+        octave=fl.kl.octave,
+        has_right=fl.has_stereo,
+        valid=(det2ln >= 0) & fl.kl.valid,
+    )
+    T3, pt_in, ln_in, n_in = pose_opt.optimize_pose(
+        cam, T, pobs, lobs, gamma=gamma, rounds=2, iters=6)
+    det2ln = jnp.where(ln_in, det2ln, -1)
+    n_line = jnp.sum(det2ln >= 0)
+    return T3, det2ln, n_line
+
+
 @dataclass
 class FrameLog:
     """Per-frame trajectory bookkeeping entry (Tracking.cc:497-514)."""
@@ -180,11 +218,15 @@ class TrackMetrics:
     new_kf: bool = False
     n_points: int = 0
     n_kfs: int = 0
+    n_line_matches: int = 0
+    n_lines: int = 0
     # per-stage wall-clock (seconds): frame build+stats, fused track step
     # (incl. device sync), keyframe path (map update + local BA + loop)
     t_build: float = 0.0
     t_step: float = 0.0
     t_kf: float = 0.0
+    t_dispatch: float = 0.0
+    t_get: float = 0.0
 
 
 class StereoTracker:
@@ -216,6 +258,19 @@ class StereoTracker:
         self._view = None
         self._view_pid = None
         self._reloc_key = jax.random.PRNGKey(7)
+        # line pipeline (the LLD differentiator; off when ldType is `empty`,
+        # matching the reference config gate)
+        self.enable_lines = cfg.line.enabled
+        self._cur_lines = None
+        self._line_view = None
+        self._line_view_ids = None
+        self.line_view_cap = 512
+        if self.enable_lines:
+            from ..frontend.line_extract import LineDetConfig
+            self.line_cfg = LineDetConfig(
+                max_lines=self.store.n_ln_det,
+                min_len=cfg.line.min_line_len)
+            self._refresh_line_view()
         # TrackReferenceKeyFrame matcher: global descriptor association with
         # ratio 0.7 + mutual check (SearchByBoW semantics, ORBmatcher.cc:159;
         # without the BoW-node gating, which only exists to prune CPU work)
@@ -245,7 +300,15 @@ class StereoTracker:
         if img_l.dtype == np.float32 and img_l.max(initial=0.0) <= 255.0:
             img_l = img_l.astype(np.uint8)
             img_r = img_r.astype(np.uint8)
-        fd = build_frame(jnp.asarray(img_l), jnp.asarray(img_r), self.cam, self.orb)
+        jl, jr = jnp.asarray(img_l), jnp.asarray(img_r)
+        fd = build_frame(jl, jr, self.cam, self.orb)
+        if self.enable_lines:
+            from ..frontend import line_extract, line_match
+            kld = line_extract.detect_lines(jl, self.line_cfg)
+            krd = line_extract.detect_lines(jr, self.line_cfg)
+            self._cur_fl = line_match.match_stereo_lines(
+                self.cam, kld, krd, md_thr=self.line_cfg.desc_thr,
+                min_len=self.cfg.line.min_line_len)
         m.t_build = _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
@@ -258,6 +321,7 @@ class StereoTracker:
         m.state = self.state.name
         m.n_points = int(self.store.pt_valid.sum())
         m.n_kfs = self.store.n_kf
+        m.n_lines = int(self.store.ln_valid.sum())
         self.metrics.append(m)
         return self.T_cw.copy(), m
 
@@ -286,6 +350,9 @@ class StereoTracker:
         Xw = np.stack([(uv[:, 0] - cam.cx) * z / cam.fx,
                        (uv[:, 1] - cam.cy) * z / cam.fy, z], -1).astype(np.float32)
         ids = self.store.create_points(kf, good, Xw)
+        if self.enable_lines:
+            self._cur_det2ln = None
+            self._create_kf_lines(kf)
         self.T_cw = T0
         self.velocity = np.eye(4, dtype=np.float32)
         self.ref_kf = kf
@@ -304,6 +371,8 @@ class StereoTracker:
         kp2pt[good] = ids
         self._refresh_local_view()
         self._refresh_ref_matches()
+        if self.enable_lines:
+            self._refresh_line_view()
         self._remember_frame(fd, kp2pt)
         self._log_frame(timestamp)
         m.new_kf = True
@@ -352,6 +421,33 @@ class StereoTracker:
             return
         s.refresh_obs_counts()
         self._ref_matches = int((s.pt_nobs[ids] >= min_obs).sum())
+
+    def _refresh_line_view(self):
+        """Padded device view of the local map lines (lines observed by the
+        local keyframes), refreshed at keyframe rate like the point view."""
+        s = self.store
+        cap = self.line_view_cap
+        if self.ref_kf >= 0:
+            covis, _ = s.covisible_kfs(self.ref_kf, min_shared=15, top=19)
+            local_kfs = np.concatenate([[self.ref_kf], covis]).astype(np.int32)
+            ids = np.unique(s.kf_ln_ids[local_kfs])
+            ids = ids[ids >= 0]
+            ids = ids[s.ln_valid[ids]]
+            if len(ids) > cap:
+                ids = ids[-cap:]
+        else:
+            ids = np.zeros(0, np.int32)
+        P = len(ids)
+        pad = cap - P
+        self._line_view_ids = np.concatenate([ids, np.full(pad, -1, np.int32)])
+        D = s.ln_desc.shape[1]
+        self._line_view = (
+            jnp.asarray(np.concatenate([s.ln_x0[ids], np.zeros((pad, 3), np.float32)])),
+            jnp.asarray(np.concatenate([s.ln_dir[ids], np.tile(np.array([1, 0, 0], np.float32), (pad, 1))])),
+            jnp.asarray(np.concatenate([s.ln_desc[ids], np.zeros((pad, D), np.float32)])),
+            jnp.asarray(np.concatenate([s.ln_oct[ids], np.zeros(pad, np.int32)])),
+            jnp.asarray(np.concatenate([np.ones(P, bool), np.zeros(pad, bool)])),
+        )
 
     def _refresh_local_view(self):
         """Rebuild the padded MapPointView over the local map
@@ -475,10 +571,15 @@ class StereoTracker:
                 self.velocity = np.eye(4, dtype=np.float32)
                 self._has_velocity = False
         T_pred = (self.velocity @ self.T_cw).astype(np.float32)
+        import time as _time
+        t_d0 = _time.perf_counter()
         out = self._run_step(fd, T_pred)
+        m.t_dispatch = _time.perf_counter() - t_d0
         # next-frame device state (stays on device, no transfer)
         dev_ptpos, dev_haspt = out[2], out[3]
+        t_g0 = _time.perf_counter()
         T_np, packed = jax.device_get(out[:2])
+        m.t_get = _time.perf_counter() - t_g0
         (n_mm, n_in, tracked_close, untracked_close, n_kp, n_st,
          kp2last, kp2pt_l, ok, in_frustum) = self._unpack(packed)
         m.n_motion_matches = int(n_mm)
@@ -522,6 +623,29 @@ class StereoTracker:
             self._has_velocity = False
             self._log_frame(timestamp, lost=True)
             return
+
+        # --- line association + joint point/line pose refinement ---
+        self._cur_det2ln = None
+        if self.enable_lines and self._line_view is not None:
+            fl = self._cur_fl
+            cur = fd.feats
+            pobs = pose_opt.PointPoseObs(
+                X=dev_ptpos,
+                obs=jnp.concatenate([cur.xy, cur.ur[:, None]], axis=-1),
+                inv_sigma2=self._inv_sigma2_lut[cur.octave],
+                is_stereo=cur.ur >= 0,
+                valid=dev_haspt,
+            )
+            T3, det2ln, n_line = _line_step(
+                self.cam, jnp.asarray(T_np), *self._line_view, fl, pobs,
+                float(self.cfg.line.gamma), float(self.line_cfg.desc_thr))
+            T_np = np.asarray(T3)
+            det2ln = np.asarray(det2ln)
+            det2ln_g = np.where(det2ln >= 0,
+                                self._line_view_ids[np.maximum(det2ln, 0)],
+                                -1).astype(np.int32)
+            self._cur_det2ln = det2ln_g
+            m.n_line_matches = int(n_line)
 
         self.state = TrackState.OK
         self.velocity = (T_np @ np.linalg.inv(self.T_cw)).astype(np.float32)
@@ -583,6 +707,8 @@ class StereoTracker:
             Xw = (T_wc[:3, :3] @ Xc.T).T + T_wc[:3, 3]
             ids = s.create_points(kf, sel, Xw.astype(np.float32))
             kp2pt[sel] = ids
+        if self.enable_lines:
+            self._create_kf_lines(kf)
         self.ref_kf = kf
         self.last_kf_frame = self.frame_id
         import time as _time
@@ -598,9 +724,49 @@ class StereoTracker:
         self.T_cw = s.kf_pose[kf].copy()
         self._refresh_local_view()
         self._refresh_ref_matches()
+        if self.enable_lines:
+            self._refresh_line_view()
         t3 = _time.perf_counter()
         self.kf_timings.append(
             dict(mapper=t1 - t0, loop=t2 - t1, view=t3 - t2))
+
+    def _create_kf_lines(self, kf: int):
+        """Line half of keyframe creation: snapshot the frame's detections,
+        attach observations of associated map lines, create new map lines
+        from unassociated stereo-triangulated detections (the MatchLinesLastKF
+        -> new MapLine path, Tracking.cc:1449-1611 intent), and cull."""
+        s = self.store
+        fl = self._cur_fl
+        lines_np = {
+            "p1": np.asarray(fl.kl.p1), "p2": np.asarray(fl.kl.p2),
+            "p1r": np.asarray(fl.p1_r), "p2r": np.asarray(fl.p2_r),
+            "has_r": np.asarray(fl.has_stereo),
+            "octave": np.asarray(fl.kl.octave),
+            "desc": np.asarray(fl.kl.desc),
+            "valid": np.asarray(fl.kl.valid),
+        }
+        det2ln = (self._cur_det2ln if self._cur_det2ln is not None
+                  else np.full(s.n_ln_det, -1, np.int32))
+        s.add_keyframe_lines(kf, lines_np, det2ln.copy())
+        # new lines: valid stereo-triangulated detections without a map line;
+        # only long segments seed (direction noise of single-pair stereo
+        # triangulation scales with 1/length; multi-view refinement below
+        # sharpens them once a second KF observes them)
+        lengths = np.linalg.norm(lines_np["p2"] - lines_np["p1"], axis=-1)
+        newsel = np.nonzero(lines_np["valid"] & lines_np["has_r"]
+                            & (det2ln < 0) & (lengths >= 40.0))[0]
+        if len(newsel) and s.n_ln + len(newsel) <= s.max_ln:
+            X0c = np.asarray(fl.X0)[newsel]
+            dc = np.asarray(fl.d)[newsel]
+            T_wc = np.linalg.inv(self.T_cw)
+            Pw = (T_wc[:3, :3] @ X0c.T).T + T_wc[:3, 3]
+            dw = (T_wc[:3, :3] @ dc.T).T
+            dw /= np.maximum(np.linalg.norm(dw, axis=-1, keepdims=True), 1e-9)
+            X0w = Pw - np.sum(Pw * dw, axis=-1, keepdims=True) * dw
+            s.create_lines(kf, newsel, X0w.astype(np.float32),
+                           dw.astype(np.float32))
+        s.retriangulate_lines()
+        s.cull_lines()
 
     # ------------------------------------------------------------------
 

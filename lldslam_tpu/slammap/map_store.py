@@ -39,11 +39,16 @@ class MapStore:
         cfg: OrbConfig,
         max_kf: int = 512,
         max_pt: int = 120_000,
+        max_ln: int = 8192,
+        n_ln_det: int = 64,
+        ln_desc_dim: int = 40,
     ):
         self.cam = cam
         self.cfg = cfg
         self.max_kf = max_kf
         self.max_pt = max_pt
+        self.max_ln = max_ln
+        self.n_ln_det = n_ln_det
         n = cfg.max_kp
         self.n_kp = n
 
@@ -78,6 +83,27 @@ class MapStore:
         self.pt_nobs = np.zeros(max_pt, np.int32)
         self.n_pt = 0
 
+        # map lines (MapLine, reference src/MapLine.cc: minimal X0-perp-dir
+        # form MapLine.h:120-121) + per-KF line detection snapshots
+        ld = n_ln_det
+        self.ln_x0 = np.zeros((max_ln, 3), np.float32)
+        self.ln_dir = np.zeros((max_ln, 3), np.float32)
+        self.ln_desc = np.zeros((max_ln, ln_desc_dim), np.float32)
+        self.ln_oct = np.zeros(max_ln, np.int32)
+        self.ln_valid = np.zeros(max_ln, bool)
+        self.ln_first_kf = np.full(max_ln, -1, np.int32)
+        self.ln_nobs = np.zeros(max_ln, np.int32)
+        self.n_ln = 0
+        self.kf_ln_p1 = np.zeros((max_kf, ld, 2), np.float32)
+        self.kf_ln_p2 = np.zeros((max_kf, ld, 2), np.float32)
+        self.kf_ln_p1r = np.zeros((max_kf, ld, 2), np.float32)
+        self.kf_ln_p2r = np.zeros((max_kf, ld, 2), np.float32)
+        self.kf_ln_has_r = np.zeros((max_kf, ld), bool)
+        self.kf_ln_oct = np.zeros((max_kf, ld), np.int32)
+        self.kf_ln_desc = np.zeros((max_kf, ld, ln_desc_dim), np.float32)
+        self.kf_ln_valid = np.zeros((max_kf, ld), bool)
+        self.kf_ln_ids = np.full((max_kf, ld), -1, np.int32)  # line obs table
+
     # ------------------------------------------------------------------
     # insertion
     # ------------------------------------------------------------------
@@ -101,6 +127,148 @@ class MapStore:
         self.kf_pt_ids[k] = pt_ids
         self.n_kf += 1
         return k
+
+    def add_keyframe_lines(self, kf_id: int, lines_np: dict, ln_ids: np.ndarray):
+        """Attach a frame-line snapshot to a keyframe. lines_np keys:
+        p1, p2, p1r, p2r, has_r, octave, desc, valid; ln_ids (LD,) map-line
+        association per detection (-1 none)."""
+        self.kf_ln_p1[kf_id] = lines_np["p1"]
+        self.kf_ln_p2[kf_id] = lines_np["p2"]
+        self.kf_ln_p1r[kf_id] = lines_np["p1r"]
+        self.kf_ln_p2r[kf_id] = lines_np["p2r"]
+        self.kf_ln_has_r[kf_id] = lines_np["has_r"]
+        self.kf_ln_oct[kf_id] = lines_np["octave"]
+        self.kf_ln_desc[kf_id] = lines_np["desc"]
+        self.kf_ln_valid[kf_id] = lines_np["valid"]
+        self.kf_ln_ids[kf_id] = ln_ids
+        # stereo observations count x2 (MapLine::AddObservation,
+        # MapLine.cc:70-75)
+        obs = ln_ids >= 0
+        w = np.where(lines_np["has_r"] & obs, 2, np.where(obs, 1, 0))
+        np.add.at(self.ln_nobs, ln_ids[obs], w[obs])
+
+    def create_lines(self, kf_id: int, det_idx: np.ndarray, X0: np.ndarray,
+                     d: np.ndarray) -> np.ndarray:
+        """Allocate map lines observed by (kf_id, det_idx); X0/d world frame,
+        minimal form (sole creation site parallels Tracking.cc:1597)."""
+        m = len(det_idx)
+        assert self.n_ln + m <= self.max_ln, "line capacity exhausted"
+        ids = np.arange(self.n_ln, self.n_ln + m, dtype=np.int32)
+        self.ln_x0[ids] = X0
+        self.ln_dir[ids] = d
+        self.ln_desc[ids] = self.kf_ln_desc[kf_id, det_idx]
+        self.ln_oct[ids] = self.kf_ln_oct[kf_id, det_idx]
+        self.ln_valid[ids] = True
+        self.ln_first_kf[ids] = kf_id
+        self.kf_ln_ids[kf_id, det_idx] = ids
+        w = np.where(self.kf_ln_has_r[kf_id, det_idx], 2, 1)
+        np.add.at(self.ln_nobs, ids, w)
+        self.n_ln += m
+        return ids
+
+    def remove_lines(self, ln_ids: np.ndarray):
+        ln_ids = np.asarray(ln_ids)
+        if len(ln_ids) == 0:
+            return
+        self.ln_valid[ln_ids] = False
+        K = self.n_kf
+        ids = self.kf_ln_ids[:K]
+        mask = np.isin(ids, ln_ids) & (ids >= 0)
+        ids[mask] = -1
+
+    def cull_lines(self):
+        """Lines die when their (stereo-weighted) observation count drops to
+        <= 4 after multiple keyframes (MapLine::EraseObservation nObs gate,
+        MapLine.cc:97; the reference has no separate line culling pass,
+        SURVEY.md D7)."""
+        K = self.n_kf
+        ids = self.kf_ln_ids[:K]
+        sel = ids >= 0
+        w = np.where(self.kf_ln_has_r[:K], 2, 1).astype(np.int32)
+        counts = np.zeros(self.max_ln, np.int32)
+        np.add.at(counts, ids[sel], w[sel])
+        self.ln_nobs = counts
+        stale = self.ln_valid & (self.ln_first_kf <= K - 3) & (counts <= 4)
+        self.remove_lines(np.nonzero(stale)[0])
+
+    def retriangulate_lines(self, max_lines: int = 256, max_obs: int = 8):
+        """Multi-view line refinement (vgl::MultiTriangulateLine semantics,
+        vgl.cc:28-75): every map line with >= 2 keyframe observations is
+        re-triangulated from ALL its observation planes (left + right camera
+        per stereo observation). The temporal baseline across keyframes
+        conditions the direction far better than the single stereo pair that
+        seeded the line."""
+        import jax.numpy as jnp
+        from ..geometry import lines as gl
+
+        K = self.n_kf
+        kf_idx, det_idx = np.nonzero(self.kf_ln_ids[:K] >= 0)
+        if len(kf_idx) == 0:
+            return
+        lids = self.kf_ln_ids[kf_idx, det_idx]
+        uniq, counts = np.unique(lids, return_counts=True)
+        cand = uniq[(counts >= 2) & self.ln_valid[uniq]]
+        if len(cand) == 0:
+            return
+        cand = cand[-max_lines:]
+
+        def plane(p1, p2, T_cw):
+            """Numpy plane normals/centers (plane_normal_from_obs)."""
+            h1 = np.concatenate([p1, np.ones_like(p1[:, :1])], -1)
+            h2 = np.concatenate([p2, np.ones_like(p2[:, :1])], -1)
+            l = np.cross(h1, h2)
+            cam = self.cam
+            n_c = np.stack([cam.fx * l[:, 0], cam.fy * l[:, 1],
+                            cam.cx * l[:, 0] + cam.cy * l[:, 1] + l[:, 2]], -1)
+            R = T_cw[:, :3, :3]
+            n_w = np.einsum("nji,nj->ni", R, n_c)  # R^T n_c
+            c_w = -np.einsum("nji,nj->ni", R, T_cw[:, :3, 3])
+            return n_w, c_w
+
+        T_l = self.kf_pose[kf_idx]
+        nL, cL = plane(self.kf_ln_p1[kf_idx, det_idx],
+                       self.kf_ln_p2[kf_idx, det_idx], T_l)
+        T_r = T_l.copy()
+        b = self.cam.baseline
+        # T_rw = T_rl @ T_lw with T_rl = (I, (-b,0,0))
+        T_r[:, 0, 3] -= b
+        nR, cR = plane(self.kf_ln_p1r[kf_idx, det_idx],
+                       self.kf_ln_p2r[kf_idx, det_idx], T_r)
+        has_r = self.kf_ln_has_r[kf_idx, det_idx]
+
+        # group observations per candidate line, padded to max_obs planes
+        cap = ((len(cand) + 63) // 64) * 64
+        normals = np.zeros((cap, max_obs, 3), np.float32)
+        centers = np.zeros((cap, max_obs, 3), np.float32)
+        mask = np.zeros((cap, max_obs), bool)
+        pos_of = {int(l): i for i, l in enumerate(cand)}
+        fill = np.zeros(cap, np.int32)
+        for o in range(len(kf_idx)):
+            i = pos_of.get(int(lids[o]))
+            if i is None:
+                continue
+            if fill[i] < max_obs:
+                normals[i, fill[i]] = nL[o]
+                centers[i, fill[i]] = cL[o]
+                mask[i, fill[i]] = True
+                fill[i] += 1
+            if has_r[o] and fill[i] < max_obs:
+                normals[i, fill[i]] = nR[o]
+                centers[i, fill[i]] = cR[o]
+                mask[i, fill[i]] = True
+                fill[i] += 1
+        X0, d, ok = gl.triangulate_multi_view(
+            jnp.asarray(normals), jnp.asarray(centers), jnp.asarray(mask))
+        X0 = np.array(X0)
+        d = np.array(d)
+        ok = np.asarray(ok)
+        n = len(cand)
+        good = ok[:n] & np.isfinite(X0[:n]).all(-1) & np.isfinite(d[:n]).all(-1)
+        # keep direction continuity (sign is arbitrary out of the SVD)
+        flip = np.sum(d[:n] * self.ln_dir[cand], -1) < 0
+        d[:n][flip] *= -1
+        self.ln_x0[cand[good]] = X0[:n][good]
+        self.ln_dir[cand[good]] = d[:n][good]
 
     def create_points(self, kf_id: int, feat_idx: np.ndarray, positions: np.ndarray) -> np.ndarray:
         """Allocate new map points observed by (kf_id, feat_idx). Returns ids."""
