@@ -29,6 +29,34 @@ class FrameData(NamedTuple):
     right: orb.Keypoints     # right keypoints (for line/stereo debugging)
 
 
+@jax.jit
+def pack_frame(fd: FrameData) -> jnp.ndarray:
+    """Flatten the host-bound keyframe snapshot (left features + depth) into
+    ONE int32 buffer: each device->host leaf costs a full tunnel round trip
+    (~35 ms), so the 6-leaf snapshot download at keyframe rate was ~0.2 s."""
+    f = fd.feats
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    return jnp.concatenate([
+        bc(f.xy.reshape(-1)), bc(f.ur), bc(f.angle), bc(fd.depth),
+        f.octave, bc(f.desc.reshape(-1)), f.valid.astype(jnp.int32),
+    ])
+
+
+def unpack_frame_np(buf: np.ndarray, n: int):
+    """Inverse of pack_frame on host. Returns (feats dict, depth)."""
+    o = 0
+    xy = buf[o:o + 2 * n].view(np.float32).reshape(n, 2); o += 2 * n
+    ur = buf[o:o + n].view(np.float32); o += n
+    angle = buf[o:o + n].view(np.float32); o += n
+    depth = buf[o:o + n].view(np.float32); o += n
+    octave = buf[o:o + n]; o += n
+    desc = buf[o:o + 8 * n].view(np.uint32).reshape(n, 8); o += 8 * n
+    valid = buf[o:o + n].astype(bool)
+    feats = dict(xy=xy, ur=ur, octave=octave, angle=angle, desc=desc,
+                 valid=valid)
+    return feats, depth
+
+
 @partial(jax.jit, static_argnames=("cam", "cfg"))
 def build_frame(
     img_l: jnp.ndarray,

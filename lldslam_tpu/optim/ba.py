@@ -32,6 +32,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry import se3
 from ..geometry.camera import StereoCamera
@@ -317,3 +318,26 @@ def local_ba(cam: StereoCamera, problem: BAProblem):
     problem, chi2 = ba_solve(cam, problem, iters=10)
     keep = classify_outliers(problem, chi2, cam)
     return problem, keep
+
+
+@partial(jax.jit, static_argnames=("cam",))
+def local_ba_packed(cam: StereoCamera, problem: BAProblem) -> jnp.ndarray:
+    """local_ba with every host-bound result in ONE int32 buffer
+    (poses bitcast | points bitcast | keep) — a device->host leaf costs a
+    full tunnel round trip, so the 3-leaf readback tripled KF latency."""
+    solved, keep = local_ba(cam, problem)
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    return jnp.concatenate([
+        bc(solved.poses.reshape(-1)),
+        bc(solved.points.reshape(-1)),
+        keep.astype(jnp.int32),
+    ])
+
+
+def unpack_local_ba_np(buf: np.ndarray, K: int, P: int):
+    """Inverse of local_ba_packed on host: (poses, points, keep)."""
+    o = 16 * K
+    poses = buf[:o].view(np.float32).reshape(K, 4, 4)
+    points = buf[o:o + 3 * P].view(np.float32).reshape(P, 3)
+    keep = buf[o + 3 * P:].astype(bool)
+    return poses, points, keep

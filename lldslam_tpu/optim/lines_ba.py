@@ -1,0 +1,283 @@
+"""Joint point + line bundle adjustment with two-class Schur marginalization.
+
+Replaces the line half of `Optimizer::LocalBundleAdjustment` /
+`BundleAdjustment` (reference src/Optimizer.cc:1182-1218, 473-560 via
+`LineOptimizer::AddLineMinimal`, src/LineOptimizer.cc:39-127): line landmarks
+enter as marginalized 4-DoF vertices (quaternion-increment + alpha,
+types_sba.h:62-110) with 2 endpoint-distance residual rows per camera and
+2 cameras per stereo observation (baseline shift, LineOptimizer.cc:72-77),
+information gamma^2 / 1.44^(2*octave) (LineOptimizer.cc:97-101).
+
+The reduced camera system subtracts BOTH landmark classes:
+
+    S = Hcc - Wcp Hpp^-1 Wcp^T - Wcl Hll^-1 Wcl^T     (4x4 line blocks)
+
+and reuses the point machinery of optim/ba.py unchanged.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import lines as glines, se3
+from ..geometry.camera import StereoCamera
+from . import ba, residuals as res
+
+LINE_PYR_FACTOR = 1.44  # LineMatching.cc:27
+
+
+class LineBAObs(NamedTuple):
+    """Padded line-observation table."""
+
+    k: jnp.ndarray        # (O,) int32 keyframe index
+    l: jnp.ndarray        # (O,) int32 line index
+    x1l: jnp.ndarray      # (O, 2) observed left endpoints
+    x2l: jnp.ndarray
+    x1r: jnp.ndarray      # (O, 2) observed right endpoints
+    x2r: jnp.ndarray
+    octave: jnp.ndarray   # (O,) int32
+    has_r: jnp.ndarray    # (O,) bool
+    valid: jnp.ndarray    # (O,) bool
+
+
+class JointProblem(NamedTuple):
+    base: ba.BAProblem
+    q: jnp.ndarray          # (L, 4) line orientation (wxyz)
+    alpha: jnp.ndarray      # (L,)
+    line_valid: jnp.ndarray  # (L,) bool
+    lobs: LineBAObs
+
+
+def _line_terms(cam: StereoCamera, problem: JointProblem, gamma: float,
+                robust: bool, delta_scale=1.0):
+    """Per line-observation: residual (O, 4), Jc (O, 4, 6), Jl (O, 4, 4),
+    row weights (O, 4), chi2 (O,)."""
+    o = problem.lobs
+    T = problem.base.poses[o.k]
+    T_r = glines.right_camera_pose(T, cam.baseline)
+    q = problem.q[o.l]
+    a = problem.alpha[o.l]
+
+    def one(T, Tr, q, a, x1l, x2l, x1r, x2r):
+        rl = res.line_residual(cam, T, q, a, x1l, x2l)
+        rr = res.line_residual(cam, Tr, q, a, x1r, x2r)
+        return jnp.concatenate([rl, rr])
+
+    def one_jac(T, Tr, q, a, x1l, x2l, x1r, x2r):
+        def f(eps_pose, eps_line):
+            Tp = se3.exp(eps_pose) @ T
+            Trp = glines.right_camera_pose(Tp, cam.baseline)
+            dq = res._quat_increment(eps_line[:3])
+            q2 = res._quat_mul(dq, q)
+            a2 = a + eps_line[3]
+            rl = res.line_residual(cam, Tp, q2, a2, x1l, x2l)
+            rr = res.line_residual(cam, Trp, q2, a2, x1r, x2r)
+            return jnp.concatenate([rl, rr])
+        z6 = jnp.zeros(6, T.dtype)
+        z4 = jnp.zeros(4, T.dtype)
+        Jc = jax.jacfwd(lambda e: f(e, z4))(z6)
+        Jl = jax.jacfwd(lambda e: f(z6, e))(z4)
+        return Jc, Jl
+
+    r = jax.vmap(one)(T, T_r, q, a, o.x1l, o.x2l, o.x1r, o.x2r)     # (O, 4)
+    Jc, Jl = jax.vmap(one_jac)(T, T_r, q, a, o.x1l, o.x2l, o.x1r, o.x2r)
+
+    info = (gamma * gamma) / (LINE_PYR_FACTOR
+                              ** (2.0 * o.octave.astype(jnp.float32)))
+    row_mask = jnp.concatenate([
+        jnp.ones_like(o.has_r, jnp.float32)[:, None].repeat(2, 1),
+        o.has_r.astype(jnp.float32)[:, None].repeat(2, 1)], axis=1)  # (O, 4)
+    # cheirality/garbage guards: the closest line point must be in front and
+    # residuals finite, else the observation contributes exactly zero
+    X0, d = glines.x0dir_from_minimal(q, a)
+    Xc0, _ = glines.transform_line(T, X0, d)
+    chi2_raw = info * jnp.sum(r * r * row_mask, axis=-1)
+    active = (o.valid & problem.line_valid[o.l] & (Xc0[..., 2] > 0.05)
+              & jnp.isfinite(chi2_raw) & (chi2_raw < 1e6)).astype(r.dtype)
+    r = r * active[:, None]
+    Jc = Jc * active[:, None, None]
+    Jl = Jl * active[:, None, None]
+    chi2 = info * jnp.sum(r * r * row_mask, axis=-1)
+    delta_sq = (res.CHI2_STEREO * gamma * gamma) * delta_scale
+    hub = res.huber_weight(chi2, delta_sq) if robust else 1.0
+    W = (info * hub * active)[:, None] * row_mask
+    return r, Jc, Jl, W, chi2
+
+
+def _line_blocks(problem: JointProblem, r, Jc, Jl, W):
+    K = problem.base.poses.shape[0]
+    L = problem.q.shape[0]
+    o = problem.lobs
+    JcW = Jc * W[:, :, None]
+    Hcc = jnp.zeros((K, 6, 6)).at[o.k].add(jnp.einsum("ori,orj->oij", JcW, Jc))
+    bc = jnp.zeros((K, 6)).at[o.k].add(-jnp.einsum("ori,or->oi", JcW, r))
+    JlW = Jl * W[:, :, None]
+    Hll = jnp.zeros((L, 4, 4)).at[o.l].add(jnp.einsum("ori,orj->oij", JlW, Jl))
+    bl = jnp.zeros((L, 4)).at[o.l].add(-jnp.einsum("ori,or->oi", JlW, r))
+    Wcl = jnp.einsum("ori,orj->oij", JcW, Jl)      # (O, 6, 4)
+    return Hcc, bc, Hll, bl, Wcl
+
+
+def _apply_line_update(problem: JointProblem, dl):
+    dq = res._quat_increment(dl[:, :3])
+    q = res._quat_mul(dq, problem.q)
+    alpha = problem.alpha + dl[:, 3]
+    return problem._replace(q=q, alpha=alpha)
+
+
+@partial(jax.jit, static_argnames=("cam", "iters", "gamma", "robust", "gnc"))
+def joint_ba_solve(
+    cam: StereoCamera,
+    problem: JointProblem,
+    iters: int = 5,
+    gamma: float = 0.5,
+    robust: bool = True,
+    gnc: bool = True,
+):
+    """LM iterations on the joint problem (dense two-class Schur).
+    Returns (problem', point chi2 (Op,), line chi2 (Ol,))."""
+
+    def total_cost(pb, dscale):
+        c = ba._total_cost(cam, pb.base, robust, dscale)
+        r, _, _, W, chi2 = _line_terms(cam, pb, gamma, robust, dscale)
+        delta_sq = (res.CHI2_STEREO * gamma * gamma) * dscale
+        lc = jnp.sum(res.huber_rho(chi2, delta_sq)
+                     * (chi2 > 0).astype(r.dtype)) if robust else jnp.sum(chi2)
+        return c + lc
+
+    def body(i, state):
+        problem, lam = state
+        dscale = jnp.maximum(1.0, 64.0 * 0.5 ** i) if gnc else 1.0
+        # point system
+        rp, Jcp, Jp, Wp, _, _ = ba._terms(cam, problem.base, robust, dscale)
+        Hcc, bc, Hpp, bp, Wcp = ba._build_blocks(problem.base, rp, Jcp, Jp, Wp)
+        # line system
+        rl, Jcl, Jl, Wl, _ = _line_terms(cam, problem, gamma, robust, dscale)
+        Hcc_l, bc_l, Hll, bl, Wcl = _line_blocks(problem, rl, Jcl, Jl, Wl)
+        Hcc = Hcc + Hcc_l
+        bc = bc + bc_l
+
+        K = problem.base.poses.shape[0]
+        P = problem.base.points.shape[0]
+        L = problem.q.shape[0]
+        o = problem.base.obs
+        ol = problem.lobs
+
+        Hpp_d = ba._damp_diag(Hpp, lam)
+        seen_p = jnp.zeros((P,)).at[o.p].add(jnp.abs(Wcp).sum(axis=(1, 2))) > 0
+        Hpp_d = jnp.where(seen_p[:, None, None], Hpp_d,
+                          jnp.eye(3, dtype=Hpp.dtype)[None])
+        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Hll_d = ba._damp_diag(Hll, lam)
+        seen_l = jnp.zeros((L,)).at[ol.l].add(jnp.abs(Wcl).sum(axis=(1, 2))) > 0
+        Hll_d = jnp.where(seen_l[:, None, None], Hll_d,
+                          jnp.eye(4, dtype=Hll.dtype)[None])
+        Hll_inv = jnp.linalg.inv(Hll_d)
+
+        Bp = jnp.zeros((K, P, 6, 3)).at[o.k, o.p].add(Wcp)
+        Bl = jnp.zeros((K, L, 6, 4)).at[ol.k, ol.l].add(Wcl)
+        BHp = jnp.einsum("kpij,pjl->kpil", Bp, Hpp_inv)
+        BHl = jnp.einsum("klij,ljm->klim", Bl, Hll_inv)
+        S = jnp.einsum("kij,kq->kiqj", ba._damp_diag(Hcc, lam),
+                       jnp.eye(K, dtype=Hcc.dtype))
+        S = S - jnp.einsum("kpil,qpjl->kiqj", BHp, Bp)
+        S = S - jnp.einsum("klim,qljm->kiqj", BHl, Bl)
+        rhs = bc - jnp.einsum("kpil,pl->ki", BHp, bp) \
+            - jnp.einsum("klim,lm->ki", BHl, bl)
+        S, rhs = ba._fix_gauge(S, rhs, problem.base.pose_fixed)
+        Sm = S.reshape(6 * K, 6 * K)
+        Sm = 0.5 * (Sm + Sm.T)
+        dg = jnp.diagonal(Sm)
+        dsi = 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(dg), 1e-12))
+        Ss = Sm * dsi[:, None] * dsi[None, :] + 1e-6 * jnp.eye(6 * K, dtype=Sm.dtype)
+        y = jnp.linalg.solve(Ss, rhs.reshape(6 * K) * dsi)
+        dc = (y * dsi).reshape(K, 6)
+        dp = jnp.einsum("pij,pj->pi", Hpp_inv,
+                        bp - jnp.einsum("kpij,ki->pj", Bp, dc))
+        dp = dp * problem.base.point_valid[:, None]
+        dl = jnp.einsum("lij,lj->li", Hll_inv,
+                        bl - jnp.einsum("klij,ki->lj", Bl, dc))
+        dl = dl * problem.line_valid[:, None]
+
+        cand_base = ba._apply_update(problem.base, dc, dp)
+        cand = _apply_line_update(problem._replace(base=cand_base), dl)
+        c_old = total_cost(problem, dscale)
+        c_new = total_cost(cand, dscale)
+        accept = c_new < c_old
+        problem = jax.tree.map(lambda a, b: jnp.where(accept, b, a),
+                               problem, cand)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e4)
+        return (problem, lam)
+
+    problem, _ = jax.lax.fori_loop(
+        0, iters, body, (problem, jnp.asarray(1e-4, problem.q.dtype)))
+    # final chi2 for outlier classification
+    o = problem.base.obs
+    rp = res.point_residual_stereo(
+        cam, problem.base.poses[o.k], problem.base.points[o.p], o.uvr)
+    row_w = jnp.where(o.is_stereo[:, None], 1.0,
+                      jnp.array([1.0, 1.0, 0.0])[None, :])
+    chi2_p = o.inv_sigma2 * jnp.sum(rp * rp * row_w, axis=-1)
+    _, _, _, _, chi2_l = _line_terms(cam, problem, gamma, robust=False)
+    return problem, chi2_p, chi2_l
+
+
+def classify_line_outliers(problem: JointProblem, chi2_l, gamma: float = 0.5):
+    """Line observation inlier mask: chi2 against the gamma-scaled stereo
+    threshold x2 (the LineOptimizer DisableOutliers gate semantics,
+    LineOptimizer.cc:129-170)."""
+    th = 2.0 * res.CHI2_STEREO * gamma * gamma
+    return problem.lobs.valid & (chi2_l <= th)
+
+
+def local_joint_ba(cam: StereoCamera, problem: JointProblem,
+                   gamma: float = 0.5):
+    """Reference local-BA schedule with both landmark classes: 5 iters,
+    drop point+line outliers, 10 more iters, final classification
+    (Optimizer.cc:1223-1296 + LineOptimizer ln_filter)."""
+    problem, chi2_p, chi2_l = joint_ba_solve(cam, problem, iters=5,
+                                             gamma=gamma)
+    keep_p = ba.classify_outliers(problem.base, chi2_p, cam)
+    keep_l = classify_line_outliers(problem, chi2_l, gamma)
+    problem = problem._replace(
+        base=problem.base._replace(
+            obs=problem.base.obs._replace(valid=keep_p)),
+        lobs=problem.lobs._replace(valid=keep_l))
+    problem, chi2_p, chi2_l = joint_ba_solve(cam, problem, iters=10,
+                                             gamma=gamma)
+    keep_p = ba.classify_outliers(problem.base, chi2_p, cam)
+    keep_l = classify_line_outliers(problem, chi2_l, gamma)
+    return problem, keep_p, keep_l
+
+
+@partial(jax.jit, static_argnames=("cam", "gamma"))
+def local_joint_ba_packed(cam: StereoCamera, problem: JointProblem,
+                          gamma: float = 0.5) -> jnp.ndarray:
+    """local_joint_ba with all host-bound results in ONE int32 buffer
+    (single tunnel round trip): poses | points | q | alpha | keep_p | keep_l."""
+    solved, keep_p, keep_l = local_joint_ba(cam, problem, gamma)
+    bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    return jnp.concatenate([
+        bc(solved.base.poses.reshape(-1)),
+        bc(solved.base.points.reshape(-1)),
+        bc(solved.q.reshape(-1)),
+        bc(solved.alpha),
+        keep_p.astype(jnp.int32),
+        keep_l.astype(jnp.int32),
+    ])
+
+
+def unpack_local_joint_np(buf, K: int, P: int, L: int, Op: int):
+    """Inverse of local_joint_ba_packed on host."""
+    import numpy as np
+    o = 16 * K
+    poses = buf[:o].view(np.float32).reshape(K, 4, 4)
+    points = buf[o:o + 3 * P].view(np.float32).reshape(P, 3); o += 3 * P
+    q = buf[o:o + 4 * L].view(np.float32).reshape(L, 4); o += 4 * L
+    alpha = buf[o:o + L].view(np.float32); o += L
+    keep_p = buf[o:o + Op].astype(bool); o += Op
+    keep_l = buf[o:].astype(bool)
+    return poses, points, q, alpha, keep_p, keep_l

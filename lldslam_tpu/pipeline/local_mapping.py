@@ -36,6 +36,8 @@ class LocalMapper:
         k_fixed: int = 8,
         p_cap: int = 8192,
         o_cap: int = 24576,
+        l_cap: int = 512,
+        lo_cap: int = 2048,
         ba_interval: int = 1,
     ):
         self.store = store
@@ -46,7 +48,10 @@ class LocalMapper:
         self.k_cap = k_local + k_fixed
         self.p_cap = p_cap
         self.o_cap = o_cap
+        self.l_cap = l_cap
+        self.lo_cap = lo_cap
         self.ba_interval = ba_interval
+        self.enable_lines = cfg.line.enabled
         self._recent: deque = deque(maxlen=3)  # (kf_id, created point ids)
         self._inv_sigma2 = np.power(
             1.0 / store.cfg.scale ** 2, np.arange(store.cfg.n_levels)
@@ -151,8 +156,57 @@ class LocalMapper:
             obs=obs,
         )
         meta = dict(window=window, n_free=n_free, pts=pts,
-                    okf=okf, ofe=ofe, kf_abs=kf_abs, n_obs=O)
+                    okf=okf, ofe=ofe, kf_abs=kf_abs, p_idx=p_idx, n_obs=O)
         return problem, meta
+
+    def _build_line_obs(self, window):
+        """Line half of the BA window: lines seen by window KFs + padded
+        observation table (lines_ba.LineBAObs)."""
+        import jax.numpy as jnp
+        from ..geometry import lines as glines
+        from ..optim import lines_ba
+
+        s = self.store
+        lids = np.unique(s.kf_ln_ids[window])
+        lids = lids[lids >= 0]
+        lids = lids[s.ln_valid[lids]][-self.l_cap:]
+        L = len(lids)
+        ln_lut = np.full(s.max_ln, -1, np.int32)
+        ln_lut[lids] = np.arange(L, dtype=np.int32)
+        mask = (s.kf_ln_ids[window] >= 0) \
+            & (ln_lut[s.kf_ln_ids[window].clip(0)] >= 0)
+        wk, wd = np.nonzero(mask)
+        kf_abs = window[wk]
+        l_idx = ln_lut[s.kf_ln_ids[kf_abs, wd]]
+        O = min(len(wk), self.lo_cap)
+        wk, wd, kf_abs, l_idx = wk[:O], wd[:O], kf_abs[:O], l_idx[:O]
+
+        def pad(a, fill=0):
+            out = np.full((self.lo_cap,) + a.shape[1:], fill, a.dtype)
+            out[:O] = a
+            return out
+
+        lobs = lines_ba.LineBAObs(
+            k=jnp.asarray(pad(wk.astype(np.int32))),
+            l=jnp.asarray(pad(l_idx.astype(np.int32))),
+            x1l=jnp.asarray(pad(s.kf_ln_p1[kf_abs, wd])),
+            x2l=jnp.asarray(pad(s.kf_ln_p2[kf_abs, wd])),
+            x1r=jnp.asarray(pad(s.kf_ln_p1r[kf_abs, wd])),
+            x2r=jnp.asarray(pad(s.kf_ln_p2r[kf_abs, wd])),
+            octave=jnp.asarray(pad(s.kf_ln_oct[kf_abs, wd])),
+            has_r=jnp.asarray(pad(s.kf_ln_has_r[kf_abs, wd])),
+            valid=jnp.asarray(np.arange(self.lo_cap) < O),
+        )
+        LC = self.l_cap
+        x0 = np.zeros((LC, 3), np.float32)
+        dr = np.tile(np.array([1, 0, 0], np.float32), (LC, 1))
+        x0[:L] = s.ln_x0[lids]
+        dr[:L] = s.ln_dir[lids]
+        q, alpha = glines.minimal_from_x0dir(jnp.asarray(x0), jnp.asarray(dr))
+        line_valid = np.zeros(LC, bool)
+        line_valid[:L] = True
+        meta = dict(lids=lids, kf_abs=kf_abs, wd=wd, n_lobs=O)
+        return q, alpha, jnp.asarray(line_valid), lobs, meta
 
     def local_ba(self, kf_id: int):
         """Run the windowed BA and write results back into the store."""
@@ -160,10 +214,12 @@ class LocalMapper:
         problem, meta = self._build_problem(kf_id)
         if meta["n_obs"] < 30 or len(meta["pts"]) == 0:
             return
-        solved, keep = ba.local_ba(self.cam, problem)
-        poses = np.asarray(solved.poses)
-        points = np.asarray(solved.points)
-        keep = np.asarray(keep)
+        if self.enable_lines:
+            self._local_ba_joint(problem, meta)
+            return
+        buf = np.asarray(ba.local_ba_packed(self.cam, problem))
+        poses, points, keep = ba.unpack_local_ba_np(
+            buf, self.k_cap, self.p_cap)
 
         window, n_free, pts = meta["window"], meta["n_free"], meta["pts"]
         s.kf_pose[window[:n_free]] = poses[:n_free]
@@ -174,8 +230,48 @@ class LocalMapper:
         if bad.any():
             s.kf_pt_ids[meta["kf_abs"][bad], meta["ofe"][bad]] = -1
             # points that lost every observation die
-            dead_cand = np.unique(pts[np.unique(
-                np.asarray(solved.obs.p)[:O][bad])])
+            dead_cand = np.unique(pts[np.unique(meta["p_idx"][:O][bad])])
             if len(dead_cand):
                 s.refresh_obs_counts()
                 s.remove_points(dead_cand[s.pt_nobs[dead_cand] == 0])
+
+    def _local_ba_joint(self, problem, meta):
+        """Joint point+line window BA (lines_ba.local_joint_ba) writeback."""
+        from ..geometry import lines as glines
+        from ..optim import lines_ba
+        import jax.numpy as jnp
+
+        s = self.store
+        window, n_free, pts = meta["window"], meta["n_free"], meta["pts"]
+        q, alpha, line_valid, lobs, lmeta = self._build_line_obs(window)
+        joint = lines_ba.JointProblem(
+            base=problem, q=q, alpha=alpha, line_valid=line_valid, lobs=lobs)
+        gamma = float(self.cfg.line.gamma)
+        buf = np.asarray(lines_ba.local_joint_ba_packed(
+            self.cam, joint, gamma))
+        poses, points, q2, a2, keep_p, keep_l = lines_ba.unpack_local_joint_np(
+            buf, self.k_cap, self.p_cap, self.l_cap, self.o_cap)
+
+        s.kf_pose[window[:n_free]] = poses[:n_free]
+        s.pt_pos[pts] = points[: len(pts)]
+        lids = lmeta["lids"]
+        if len(lids):
+            X0, d = glines.x0dir_from_minimal(jnp.asarray(q2), jnp.asarray(a2))
+            X0 = np.asarray(X0)[: len(lids)]
+            d = np.asarray(d)[: len(lids)]
+            fin = np.isfinite(X0).all(-1) & np.isfinite(d).all(-1)
+            s.ln_x0[lids[fin]] = X0[fin]
+            s.ln_dir[lids[fin]] = d[fin]
+        # outlier erasure, both classes
+        O = meta["n_obs"]
+        bad = ~keep_p[:O]
+        if bad.any():
+            s.kf_pt_ids[meta["kf_abs"][bad], meta["ofe"][bad]] = -1
+            dead_cand = np.unique(pts[np.unique(meta["p_idx"][:O][bad])])
+            if len(dead_cand):
+                s.refresh_obs_counts()
+                s.remove_points(dead_cand[s.pt_nobs[dead_cand] == 0])
+        Ol = lmeta["n_lobs"]
+        badl = ~keep_l[:Ol]
+        if badl.any():
+            s.kf_ln_ids[lmeta["kf_abs"][badl], lmeta["wd"][badl]] = -1

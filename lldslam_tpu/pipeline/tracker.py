@@ -143,10 +143,12 @@ def _track_step(
     untracked_close = jnp.sum(close & ~final_ok)
     n_kp = jnp.sum(cur.valid)
     n_stereo = jnp.sum((cur.ur >= 0) & cur.valid)
-    # pack every host-bound integer output into ONE vector: each device_get
-    # leaf pays a full tunnel round trip, and 11 leaves of a few KB each
-    # cost ~10x the single 60 KB transfer
+    # pack EVERY host-bound output into ONE int32 vector (pose bitcast in):
+    # each device_get leaf pays a ~35 ms tunnel round trip regardless of
+    # size, so one 60 KB transfer beats a dozen small ones by an order of
+    # magnitude
     packed = jnp.concatenate([
+        jax.lax.bitcast_convert_type(T2.reshape(-1), jnp.int32),
         jnp.stack([n_mm, n_in, tracked_close, untracked_close,
                    n_kp, n_stereo]).astype(jnp.int32),
         kp2last.astype(jnp.int32),
@@ -154,7 +156,7 @@ def _track_step(
         final_ok.astype(jnp.int32),
         in_frustum.astype(jnp.int32),
     ])
-    return T2, packed, X2, final_ok
+    return packed, X2, final_ok, T2
 
 
 @partial(jax.jit, static_argnames=("cam", "gamma", "md_thr"))
@@ -328,14 +330,19 @@ class StereoTracker:
     # ------------------------------------------------------------------
 
     def _feats_np(self, fd: FrameData) -> dict:
-        return {k: np.asarray(getattr(fd.feats, k))
-                for k in ("xy", "ur", "octave", "angle", "desc", "valid")}
+        feats, depth = self._snapshot_np(fd)
+        return feats
+
+    def _snapshot_np(self, fd: FrameData):
+        """Single-round-trip host snapshot of (features, depth)."""
+        from ..frontend.frame import pack_frame, unpack_frame_np
+        buf = np.asarray(pack_frame(fd))
+        return unpack_frame_np(buf, self.store.n_kp)
 
     def _initialize(self, fd: FrameData, timestamp: float, m: TrackMetrics):
         """StereoInitialization (Tracking.cc:520-556): all stereo-depth'd
         keypoints become map points, the frame becomes KF 0 at identity."""
-        depth = np.asarray(fd.depth)
-        feats = self._feats_np(fd)
+        feats, depth = self._snapshot_np(fd)
         n_depth = int(((depth > 0) & feats["valid"]).sum())
         if n_depth <= self.cfg.tracking.min_init_points:
             return
@@ -555,13 +562,14 @@ class StereoTracker:
     def _unpack(self, packed: np.ndarray):
         n = self.store.n_kp
         p = self.local_pt_cap
-        scal = packed[:6]
-        o = 6
+        T_np = packed[:16].view(np.float32).reshape(4, 4)
+        scal = packed[16:22]
+        o = 22
         kp2last = packed[o:o + n]; o += n
         kp2pt_l = packed[o:o + n]; o += n
         ok = packed[o:o + n].astype(bool); o += n
         in_frustum = packed[o:o + p].astype(bool)
-        return (*[int(x) for x in scal], kp2last, kp2pt_l, ok, in_frustum)
+        return (T_np, *[int(x) for x in scal], kp2last, kp2pt_l, ok, in_frustum)
 
     def _track(self, fd: FrameData, timestamp: float, m: TrackMetrics):
         if self.state == TrackState.LOST:
@@ -576,11 +584,11 @@ class StereoTracker:
         out = self._run_step(fd, T_pred)
         m.t_dispatch = _time.perf_counter() - t_d0
         # next-frame device state (stays on device, no transfer)
-        dev_ptpos, dev_haspt = out[2], out[3]
+        dev_ptpos, dev_haspt = out[1], out[2]
         t_g0 = _time.perf_counter()
-        T_np, packed = jax.device_get(out[:2])
+        packed = jax.device_get(out[0])
         m.t_get = _time.perf_counter() - t_g0
-        (n_mm, n_in, tracked_close, untracked_close, n_kp, n_st,
+        (T_np, n_mm, n_in, tracked_close, untracked_close, n_kp, n_st,
          kp2last, kp2pt_l, ok, in_frustum) = self._unpack(packed)
         m.n_motion_matches = int(n_mm)
         m.n_kp = int(n_kp)
@@ -597,9 +605,9 @@ class StereoTracker:
                 T_fb, _, _, _ = pose_opt.optimize_pose(
                     self.cam, jnp.asarray(self.T_cw), pobs)
                 out = self._run_step(fd, np.asarray(T_fb))
-                dev_ptpos, dev_haspt = out[2], out[3]
-                T_np, packed = jax.device_get(out[:2])
-                (n_mm, n_in, tracked_close, untracked_close, n_kp, n_st,
+                dev_ptpos, dev_haspt = out[1], out[2]
+                packed = jax.device_get(out[0])
+                (T_np, n_mm, n_in, tracked_close, untracked_close, n_kp, n_st,
                  kp2last, kp2pt_l, ok, in_frustum) = self._unpack(packed)
         m.n_inliers = n_in
 
@@ -686,8 +694,7 @@ class StereoTracker:
         close-depth points (all < ThDepth, or 100 nearest), then run the
         deterministic local-mapping step."""
         s = self.store
-        feats = self._feats_np(fd)
-        depth = np.asarray(fd.depth)
+        feats, depth = self._snapshot_np(fd)
         kf = s.add_keyframe(self.T_cw, feats, depth, kp2pt,
                             self.frame_id, timestamp)
         # candidates: valid stereo depth, no existing association

@@ -1,0 +1,145 @@
+"""Joint point+line BA (optim/lines_ba.py) on synthetic ground truth."""
+import numpy as np
+import jax.numpy as jnp
+
+from lldslam_tpu.geometry import lines as gl, se3
+from lldslam_tpu.geometry.camera import StereoCamera
+from lldslam_tpu.optim import ba, lines_ba
+
+CAM = StereoCamera(fx=450.0, fy=450.0, cx=320.0, cy=240.0, bf=225.0,
+                   width=640, height=480)
+
+
+def _make_problem(rng, K=6, P=60, L=12, pose_noise=0.01, lm_noise=0.05):
+    # poses: forward chain
+    poses_gt = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    for k in range(K):
+        poses_gt[k, 2, 3] = -0.4 * k
+    pts_gt = np.stack([rng.uniform(-5, 5, P), rng.uniform(-3, 3, P),
+                       rng.uniform(6, 20, P)], -1).astype(np.float32)
+    # lines: random well-conditioned segments
+    X0_gt = np.zeros((L, 3), np.float32)
+    d_gt = np.zeros((L, 3), np.float32)
+    segs = []
+    for i in range(L):
+        mid = np.array([rng.uniform(-4, 4), rng.uniform(-2, 2),
+                        rng.uniform(7, 16)])
+        dd = rng.normal(size=3)
+        dd /= np.linalg.norm(dd)
+        segs.append((mid - 1.5 * dd, mid + 1.5 * dd))
+        X0, d = gl.closest_point_form(jnp.asarray(mid.astype(np.float32)),
+                                      jnp.asarray(dd.astype(np.float32)))
+        X0_gt[i], d_gt[i] = np.asarray(X0), np.asarray(d)
+
+    def proj(T, X):
+        Xc = (T[:3, :3] @ X.T).T + T[:3, 3]
+        u = CAM.fx * Xc[:, 0] / Xc[:, 2] + CAM.cx
+        v = CAM.fy * Xc[:, 1] / Xc[:, 2] + CAM.cy
+        ur = u - CAM.bf / Xc[:, 2]
+        return np.stack([u, v, ur], -1)
+
+    # point observations: every point in every KF
+    ok, op, uvr = [], [], []
+    for k in range(K):
+        pr = proj(poses_gt[k], pts_gt)
+        for p in range(P):
+            ok.append(k); op.append(p); uvr.append(pr[p])
+    O = len(ok)
+
+    # line observations: endpoints projected in left+right
+    lk, ll, x1l, x2l, x1r, x2r = [], [], [], [], [], []
+    for k in range(K):
+        Tr = poses_gt[k].copy()
+        Tr[0, 3] -= CAM.baseline
+        for i, (A, B) in enumerate(segs):
+            pl = proj(poses_gt[k], np.stack([A, B]))[:, :2]
+            prr = proj(Tr, np.stack([A, B]))[:, :2]
+            lk.append(k); ll.append(i)
+            x1l.append(pl[0]); x2l.append(pl[1])
+            x1r.append(prr[0]); x2r.append(prr[1])
+    Ol = len(lk)
+
+    # noisy initial state
+    poses0 = poses_gt.copy()
+    for k in range(1, K):
+        xi = np.zeros(6, np.float32)
+        xi[:3] = rng.normal(0, pose_noise, 3)
+        xi[3:] = rng.normal(0, pose_noise * 0.5, 3)
+        poses0[k] = np.asarray(se3.exp(jnp.asarray(xi))) @ poses_gt[k]
+    pts0 = pts_gt + rng.normal(0, lm_noise, pts_gt.shape).astype(np.float32)
+    X0_0 = X0_gt + rng.normal(0, lm_noise, X0_gt.shape).astype(np.float32)
+    d_0 = d_gt + rng.normal(0, lm_noise * 0.3, d_gt.shape).astype(np.float32)
+    d_0 /= np.linalg.norm(d_0, axis=-1, keepdims=True)
+    X0_0 = X0_0 - np.sum(X0_0 * d_0, -1, keepdims=True) * d_0
+    q0, a0 = gl.minimal_from_x0dir(jnp.asarray(X0_0), jnp.asarray(d_0))
+
+    base = ba.BAProblem(
+        poses=jnp.asarray(poses0),
+        points=jnp.asarray(pts0),
+        pose_fixed=jnp.asarray(np.arange(K) == 0),
+        point_valid=jnp.ones(P, bool),
+        obs=ba.BAObs(
+            k=jnp.asarray(np.array(ok, np.int32)),
+            p=jnp.asarray(np.array(op, np.int32)),
+            uvr=jnp.asarray(np.array(uvr, np.float32)),
+            inv_sigma2=jnp.ones(O),
+            is_stereo=jnp.ones(O, bool),
+            valid=jnp.ones(O, bool),
+        ),
+    )
+    problem = lines_ba.JointProblem(
+        base=base,
+        q=q0, alpha=a0,
+        line_valid=jnp.ones(L, bool),
+        lobs=lines_ba.LineBAObs(
+            k=jnp.asarray(np.array(lk, np.int32)),
+            l=jnp.asarray(np.array(ll, np.int32)),
+            x1l=jnp.asarray(np.array(x1l, np.float32)),
+            x2l=jnp.asarray(np.array(x2l, np.float32)),
+            x1r=jnp.asarray(np.array(x1r, np.float32)),
+            x2r=jnp.asarray(np.array(x2r, np.float32)),
+            octave=jnp.zeros(Ol, jnp.int32),
+            has_r=jnp.ones(Ol, bool),
+            valid=jnp.ones(Ol, bool),
+        ),
+    )
+    return problem, poses_gt, pts_gt, X0_gt, d_gt
+
+
+def test_joint_ba_converges():
+    rng = np.random.default_rng(0)
+    problem, poses_gt, pts_gt, X0_gt, d_gt = _make_problem(rng)
+    solved, chi2_p, chi2_l = lines_ba.joint_ba_solve(CAM, problem, iters=8)
+    poses = np.asarray(solved.base.poses)
+    pts = np.asarray(solved.base.points)
+    pose_err = np.linalg.norm(poses[:, :3, 3] - poses_gt[:, :3, 3], axis=-1)
+    assert pose_err.max() < 5e-3, pose_err
+    pt_err = np.linalg.norm(pts - pts_gt, axis=-1)
+    assert np.median(pt_err) < 1e-2
+    # line recovery: direction + closest point
+    X0, d = gl.x0dir_from_minimal(solved.q, solved.alpha)
+    X0, d = np.asarray(X0), np.asarray(d)
+    ddot = np.abs(np.sum(d * d_gt, -1))
+    assert np.median(ddot) > 0.9999
+    assert np.median(np.linalg.norm(X0 - X0_gt, axis=-1)) < 2e-2
+    # residuals essentially zero (noise-free observations)
+    assert float(np.median(np.asarray(chi2_l))) < 1e-4
+
+
+def test_joint_ba_line_outlier_classification():
+    rng = np.random.default_rng(1)
+    problem, *_ = _make_problem(rng)
+    # corrupt 20% of line observations
+    Ol = problem.lobs.x1l.shape[0]
+    bad = rng.uniform(size=Ol) < 0.2
+    x1l = np.array(problem.lobs.x1l)
+    x1l[bad] += rng.uniform(30, 60, (bad.sum(), 2))
+    x2l = np.array(problem.lobs.x2l)
+    x2l[bad] += rng.uniform(30, 60, (bad.sum(), 2))
+    problem = problem._replace(lobs=problem.lobs._replace(
+        x1l=jnp.asarray(x1l), x2l=jnp.asarray(x2l)))
+    solved, chi2_p, chi2_l = lines_ba.joint_ba_solve(CAM, problem, iters=14)
+    keep = np.asarray(lines_ba.classify_line_outliers(solved, chi2_l))
+    # corrupted observations must be flagged
+    assert (~keep[bad]).mean() > 0.9
+    assert keep[~bad].mean() > 0.9
