@@ -146,17 +146,23 @@ def _select_level_keypoints(score: jnp.ndarray, n_out: int, cfg: OrbConfig):
 
 def _ic_angle(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Intensity-centroid orientation (IC_Angle, ORBextractor.cc:77-104).
-    xy (n, 2) int32 level coords -> (n,) radians."""
+    xy (n, 2) int32 level coords -> (n,) radians.
+
+    The moments are correlations of the image with fixed x*mask / y*mask
+    kernels, so compute whole-image m10/m01 maps with one 2-channel conv on
+    the MXU and gather single pixels — the per-keypoint (n, 31, 31) patch
+    gather this replaces was the single most expensive op in extraction
+    (~60 ms/frame of scalar-gather traffic on TPU)."""
     h, w = img.shape
-    offs = jnp.arange(-15, 16)
-    yy = jnp.clip(xy[:, 1:2] + offs[None, :], 0, h - 1)  # (n, 31)
-    xx = jnp.clip(xy[:, 0:1] + offs[None, :], 0, w - 1)
-    patch = img[yy[:, :, None], xx[:, None, :]]  # (n, 31, 31)
-    mask = jnp.asarray(_IC_MASK, img.dtype)
-    xs = jnp.asarray(np.mgrid[-15:16, -15:16][1], img.dtype)
-    ys = jnp.asarray(np.mgrid[-15:16, -15:16][0], img.dtype)
-    m10 = jnp.sum(patch * xs * mask, axis=(1, 2))
-    m01 = jnp.sum(patch * ys * mask, axis=(1, 2))
+    mask = _IC_MASK.astype(np.float32)
+    xs = np.mgrid[-15:16, -15:16][1].astype(np.float32)
+    ys = np.mgrid[-15:16, -15:16][0].astype(np.float32)
+    # XLA convolution IS correlation (no kernel flip)
+    kern = jnp.asarray(np.stack([xs * mask, ys * mask])[:, None])  # (2,1,31,31)
+    pad = jnp.pad(img, 15)[None, None]
+    mom = jax.lax.conv_general_dilated(pad, kern, (1, 1), "VALID")[0]
+    m10 = mom[0][xy[:, 1], xy[:, 0]]
+    m01 = mom[1][xy[:, 1], xy[:, 0]]
     return jnp.arctan2(m01, m10)
 
 

@@ -64,6 +64,9 @@ class LocalMapper:
         self._recent.append((kf_id, np.asarray(pt_ids)))
 
     def process_keyframe(self, kf_id: int):
+        """The LocalMapping::Run loop body, deterministic
+        (LocalMapping.cc:53-113 order: process -> cull points -> create new
+        points -> fuse -> local BA -> cull keyframes)."""
         s = self.store
         s.refresh_obs_counts()
         # newly created points of this KF enter the culling probation window
@@ -74,9 +77,153 @@ class LocalMapper:
         for src_kf, ids in list(self._recent):
             if len(ids):
                 s.cull_points(ids, current_kf=kf_id)
+        if s.n_kf >= 2:
+            tri_ids = self.create_new_points(kf_id)
+            if len(tri_ids):
+                self.note_created(kf_id, tri_ids)
+            self.fuse_neighbors(kf_id)
         self._kf_count += 1
         if s.n_kf >= 2 and self._kf_count % self.ba_interval == 0:
             self.local_ba(kf_id)
+        self.cull_keyframes(kf_id)
+
+    # ------------------------------------------------------------------
+
+    def create_new_points(self, kf_id: int, n_neighbors: int = 10) -> np.ndarray:
+        """Epipolar triangulation of unmatched features against the best
+        covisible keyframes (CreateNewMapPoints, LocalMapping.cc:208-453).
+        Adds the far points stereo depth cannot provide. Returns new ids."""
+        import jax.numpy as jnp
+        from . import mapping_ops
+
+        s = self.store
+        covis, _ = s.covisible_kfs(kf_id, min_shared=15, top=n_neighbors)
+        if len(covis) == 0:
+            return np.zeros(0, np.int32)
+        lut = jnp.asarray(self._inv_sigma2)
+        free1 = s.kf_kp_valid[kf_id] & (s.kf_pt_ids[kf_id] < 0)
+        created: list[int] = []
+        claimed = np.zeros(s.n_kp, bool)
+        for nb in covis[:3]:  # cap device calls; best neighbors first
+            nb = int(nb)
+            free2 = s.kf_kp_valid[nb] & (s.kf_pt_ids[nb] < 0)
+            buf = np.asarray(mapping_ops.triangulate_pair(
+                s.cam, jnp.asarray(s.kf_pose[kf_id]), jnp.asarray(s.kf_pose[nb]),
+                jnp.asarray(s.kf_xy[kf_id]), jnp.asarray(s.kf_desc[kf_id]),
+                jnp.asarray(s.kf_oct[kf_id]), jnp.asarray(free1 & ~claimed),
+                jnp.asarray(s.kf_xy[nb]), jnp.asarray(s.kf_desc[nb]),
+                jnp.asarray(s.kf_oct[nb]), jnp.asarray(free2), lut))
+            n_good, match, X = mapping_ops.unpack_triangulate_np(buf, s.n_kp)
+            sel = np.nonzero(match >= 0)[0]
+            if len(sel) == 0:
+                continue
+            if s.n_pt + len(sel) > s.max_pt:
+                break
+            ids = s.create_points(kf_id, sel, X[sel])
+            s.kf_pt_ids[nb, match[sel]] = ids  # second observation
+            claimed[sel] = True
+            created.extend(ids.tolist())
+        if created:
+            s.refresh_obs_counts()
+        return np.asarray(created, np.int32)
+
+    def fuse_neighbors(self, kf_id: int, n_neighbors: int = 5):
+        """Duplicate-point fusion with covisible keyframes
+        (SearchInNeighbors + ORBmatcher::Fuse, LocalMapping.cc:455-554):
+        project the new KF's points into each neighbor; a hit on a feature
+        holding another point merges the two (most-observed wins), a hit on
+        a free feature adds an observation."""
+        import jax.numpy as jnp
+        from ..frontend import matching
+        from . import mapping_ops
+
+        s = self.store
+        covis, _ = s.covisible_kfs(kf_id, min_shared=15, top=n_neighbors)
+        my_pts = s.kf_pt_ids[kf_id]
+        pids = np.unique(my_pts[my_pts >= 0])
+        pids = pids[s.pt_valid[pids]]
+        if len(pids) == 0 or len(covis) == 0:
+            return
+        cap = 2048
+        pids = pids[-cap:]
+        pad = cap - len(pids)
+        view = matching.MapPointView(
+            pos=jnp.asarray(np.concatenate(
+                [s.pt_pos[pids], np.zeros((pad, 3), np.float32)])),
+            desc=jnp.asarray(np.concatenate(
+                [s.pt_desc[pids], np.zeros((pad, 8), np.uint32)])),
+            normal=jnp.asarray(np.concatenate(
+                [s.pt_normal[pids], np.zeros((pad, 3), np.float32)])),
+            min_dist=jnp.asarray(np.concatenate(
+                [s.pt_min_dist[pids], np.zeros(pad, np.float32)])),
+            max_dist=jnp.asarray(np.concatenate(
+                [s.pt_max_dist[pids], np.zeros(pad, np.float32)])),
+            valid=jnp.asarray(np.concatenate(
+                [np.ones(len(pids), bool), np.zeros(pad, bool)])),
+        )
+        pid_arr = np.concatenate([pids, np.full(pad, -1, np.int64)])
+        for nb in covis[:2]:  # cap device calls
+            nb = int(nb)
+            feats = matching.FrameFeatures(
+                xy=jnp.asarray(s.kf_xy[nb]), ur=jnp.asarray(s.kf_ur[nb]),
+                octave=jnp.asarray(s.kf_oct[nb]),
+                angle=jnp.asarray(s.kf_angle[nb]),
+                desc=jnp.asarray(s.kf_desc[nb]),
+                valid=jnp.asarray(s.kf_kp_valid[nb]))
+            buf = np.asarray(mapping_ops.fuse_candidates(
+                s.cam, jnp.asarray(s.kf_pose[nb]), view, feats,
+                n_levels=s.cfg.n_levels, scale=s.cfg.scale))
+            kp2pt = buf[cap:]
+            hit = np.nonzero(kp2pt >= 0)[0]
+            for kp in hit:
+                p = int(pid_arr[kp2pt[kp]])
+                if p < 0 or not s.pt_valid[p]:
+                    continue
+                q = int(s.kf_pt_ids[nb, kp])
+                if q == p:
+                    continue
+                if q < 0:
+                    s.kf_pt_ids[nb, kp] = p  # new observation
+                elif s.pt_valid[q]:
+                    # merge: most-observed point survives (MapPoint::Replace)
+                    keep, drop = (p, q) if s.pt_nobs[p] >= s.pt_nobs[q] else (q, p)
+                    K = s.n_kf
+                    m = s.kf_pt_ids[:K] == drop
+                    s.kf_pt_ids[:K][m] = keep
+                    s.pt_valid[drop] = False
+        s.refresh_obs_counts()
+
+    def cull_keyframes(self, kf_id: int):
+        """Redundant-KF culling (KeyFrameCulling, LocalMapping.cc:633-759):
+        a covisible KF dies when >= 90% of its tracked points are seen by
+        at least 3 other keyframes. Culled KFs keep their pose (trajectory
+        replay + pose-graph chains still reference it) but stop contributing
+        observations."""
+        s = self.store
+        covis, _ = s.covisible_kfs(kf_id, min_shared=15)
+        if len(covis) == 0:
+            return
+        K = s.n_kf
+        # distinct-KF observer count per point
+        obs_kf = np.zeros(s.max_pt, np.int32)
+        ids = s.kf_pt_ids[:K]
+        sel = ids >= 0
+        np.add.at(obs_kf, ids[sel], 1)
+        for k in covis:
+            k = int(k)
+            if k == 0 or k == kf_id or not s.kf_valid[k]:
+                continue
+            pts = s.kf_pt_ids[k]
+            pts = pts[pts >= 0]
+            if len(pts) == 0:
+                continue
+            redundant = (obs_kf[pts] >= 4).mean()  # 3 others + itself
+            if redundant >= 0.9:
+                obs_kf[pts] -= 1
+                s.kf_pt_ids[k] = -1
+                s.kf_ln_ids[k] = -1  # divergence from D7: detach line obs too
+                s.kf_valid[k] = False
+        s.refresh_obs_counts()
 
     # ------------------------------------------------------------------
 

@@ -260,6 +260,7 @@ class StereoTracker:
         self._view = None
         self._view_pid = None
         self._reloc_key = jax.random.PRNGKey(7)
+        self.localization_only = False
         # line pipeline (the LLD differentiator; off when ldType is `empty`,
         # matching the reference config gate)
         self.enable_lines = cfg.line.enabled
@@ -661,8 +662,11 @@ class StereoTracker:
         self.T_cw = T_np.astype(np.float32)
 
         # --- keyframe decision + creation ---
-        new_kf = self._need_new_kf(n_in, int(tracked_close),
-                                   int(untracked_close))
+        # (suppressed in localization-only mode,
+        #  System::ActivateLocalizationMode, System.cc:121-161)
+        new_kf = (not self.localization_only) \
+            and self._need_new_kf(n_in, int(tracked_close),
+                                  int(untracked_close))
         if new_kf:
             import time as _time
             t0 = _time.perf_counter()

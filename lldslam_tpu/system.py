@@ -66,6 +66,32 @@ class System:
         T_wc[:, :3, 3] = twc
         traj.save_tum(path, s.kf_timestamp[sel], T_wc)
 
+    # -- mode switches + lifecycle (System.cc:121-161, 279-325) ------------
+    def activate_localization_mode(self) -> None:
+        """Track against the frozen map; no keyframes or map growth
+        (System::ActivateLocalizationMode)."""
+        self.tracker.localization_only = True
+
+    def deactivate_localization_mode(self) -> None:
+        self.tracker.localization_only = False
+
+    def reset(self) -> None:
+        """Full reset: clear map/trajectory and reinitialize
+        (Tracking::Reset, Tracking.cc:2000-2046)."""
+        self.tracker = StereoTracker(
+            self.cfg, vocabulary=self.tracker.vocabulary,
+            enable_loops=self.tracker.enable_loops)
+
+    # -- map persistence (the reference's SaveMap/LoadMap TODO,
+    #    System.h:118-120) -------------------------------------------------
+    def save_map(self, path) -> None:
+        from .io.checkpoint import save_map
+        save_map(self.map, path)
+
+    def load_map(self, path) -> None:
+        from .io.checkpoint import load_map
+        load_map(self.map, path)
+
     # -- shutdown is a no-op: no threads exist by design (SURVEY.md §2.3) --
     def shutdown(self) -> None:
         pass
