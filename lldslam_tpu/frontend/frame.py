@@ -29,6 +29,51 @@ class FrameData(NamedTuple):
     right: orb.Keypoints     # right keypoints (for line/stereo debugging)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def build_frame_mono(img: jnp.ndarray,
+                     cfg: orb.OrbConfig = orb.OrbConfig()) -> FrameData:
+    """Monocular frame build (mono Frame constructor, Frame.cc:220-292):
+    keypoints only; no stereo coordinate, no depth."""
+    img = img.astype(jnp.float32)
+    kp = orb.extract(img, cfg)
+    n = kp.xy.shape[0]
+    feats = FrameFeatures(
+        xy=kp.xy, ur=jnp.full((n,), -1.0), octave=kp.octave,
+        angle=kp.angle, desc=kp.desc, valid=kp.valid,
+    )
+    return FrameData(feats=feats, depth=jnp.full((n,), -1.0), right=kp)
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg"))
+def build_frame_rgbd(
+    img: jnp.ndarray,
+    depthmap: jnp.ndarray,
+    cam: StereoCamera,
+    cfg: orb.OrbConfig = orb.OrbConfig(),
+    depth_factor: float = 1.0,
+) -> FrameData:
+    """RGB-D frame build (the reference's RGB-D Frame constructor,
+    Frame.cc:163-218 + ComputeStereoFromRGBD, Frame.cc:706-723): keypoints
+    from the gray image, depth sampled from the registered depth map, and a
+    virtual right coordinate ur = u - bf/z so the whole stereo pipeline
+    applies unchanged."""
+    img = img.astype(jnp.float32)
+    kp = orb.extract(img, cfg)
+    dm = depthmap.astype(jnp.float32) * depth_factor
+    h, w = dm.shape
+    xi = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(kp.xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    z = dm[yi, xi]
+    has_d = (z > 0.0) & kp.valid
+    ur = jnp.where(has_d, kp.xy[:, 0] - cam.bf / jnp.maximum(z, 1e-6), -1.0)
+    depth = jnp.where(has_d, z, -1.0)
+    feats = FrameFeatures(
+        xy=kp.xy, ur=ur, octave=kp.octave, angle=kp.angle,
+        desc=kp.desc, valid=kp.valid,
+    )
+    return FrameData(feats=feats, depth=depth, right=kp)
+
+
 @jax.jit
 def pack_frame(fd: FrameData) -> jnp.ndarray:
     """Flatten the host-bound keyframe snapshot (left features + depth) into

@@ -163,6 +163,42 @@ def search_by_projection(
     return pt2kp, kp2pt, uvr_pred, in_frustum
 
 
+@partial(jax.jit, static_argnames=("radius", "nn_ratio"))
+def search_for_initialization(
+    f0: FrameFeatures,
+    f1: FrameFeatures,
+    radius: float = 100.0,
+    nn_ratio: float = 0.9,
+):
+    """Windowed descriptor matching for monocular bootstrap
+    (ORBmatcher::SearchForInitialization, reference src/ORBmatcher.cc:
+    405-520): level-0 keypoints, +-radius window around the same image
+    location, Hamming < TH_LOW with ratio test, mutual best.
+    Returns (idx0to1 (N,) int32 or -1)."""
+    from ..ops import hamming as ham
+
+    win = (jnp.abs(f0.xy[:, None, 0] - f1.xy[None, :, 0]) <= radius) \
+        & (jnp.abs(f0.xy[:, None, 1] - f1.xy[None, :, 1]) <= radius)
+    # same octave (divergence: the reference restricts to level 0 only,
+    # ORBmatcher.cc:416 — a CPU-pruning choice that starves the 100-match
+    # bootstrap gate at moderate feature budgets; same-octave keeps the
+    # scale consistency the H/F models need)
+    lvl = f0.octave[:, None] == f1.octave[None, :]
+    cand = win & lvl & f0.valid[:, None] & f1.valid[None, :]
+    d = jnp.where(cand, ham.distance_matrix(f0.desc, f1.desc), ham.INF_DIST)
+    best = jnp.argmin(d, axis=1)
+    bd = jnp.take_along_axis(d, best[:, None], 1)[:, 0]
+    d2 = d.at[jnp.arange(d.shape[0]), best].set(ham.INF_DIST)
+    second = jnp.min(d2, axis=1)
+    ok = (bd <= ham.TH_LOW) \
+        & (bd.astype(jnp.float32) <= nn_ratio * second.astype(jnp.float32))
+    # mutual
+    best_t = jnp.argmin(d, axis=0)
+    ok = ok & (best_t[best] == jnp.arange(d.shape[0]))
+    ok = ok & ham.rotation_consistency_mask(f0.angle, f1.angle, best, ok)
+    return jnp.where(ok, best, -1)
+
+
 @partial(jax.jit, static_argnames=("cam", "n_levels", "scale", "radius"))
 def match_last_frame(
     cam: StereoCamera,

@@ -261,6 +261,8 @@ class StereoTracker:
         self._view_pid = None
         self._reloc_key = jax.random.PRNGKey(7)
         self.localization_only = False
+        self._mono = False
+        self._init_ref = None
         # line pipeline (the LLD differentiator; off when ldType is `empty`,
         # matching the reference config gate)
         self.enable_lines = cfg.line.enabled
@@ -313,7 +315,122 @@ class StereoTracker:
                 self.cam, kld, krd, md_thr=self.line_cfg.desc_thr,
                 min_len=self.cfg.line.min_line_len)
         m.t_build = _time.perf_counter() - t0
+        return self._process_fd(fd, timestamp, m)
 
+    def process_rgbd(self, img: np.ndarray, depthmap: np.ndarray,
+                     timestamp: float = 0.0, depth_factor: float = 1.0):
+        """Track one RGB-D frame (TrackRGBD path; lines are stereo-seeded
+        and stay disabled here)."""
+        import time as _time
+        from ..frontend.frame import build_frame_rgbd
+        self.frame_id += 1
+        m = TrackMetrics(frame_id=self.frame_id)
+        t0 = _time.perf_counter()
+        if img.dtype == np.float32 and img.max(initial=0.0) <= 255.0:
+            img = img.astype(np.uint8)
+        self._cur_fl = None  # lines are stereo-seeded; not available here
+        fd = build_frame_rgbd(jnp.asarray(img), jnp.asarray(depthmap),
+                              self.cam, self.orb, depth_factor=depth_factor)
+        m.t_build = _time.perf_counter() - t0
+        return self._process_fd(fd, timestamp, m)
+
+    def process_mono(self, img: np.ndarray, timestamp: float = 0.0):
+        """Track one monocular frame (TrackMonocular path): bootstrap via
+        the H/F initializer, then the standard pipeline with mono-only
+        observations (new points come from epipolar triangulation)."""
+        import time as _time
+        from ..frontend.frame import build_frame_mono
+        self._mono = True
+        self.frame_id += 1
+        m = TrackMetrics(frame_id=self.frame_id)
+        t0 = _time.perf_counter()
+        if img.dtype == np.float32 and img.max(initial=0.0) <= 255.0:
+            img = img.astype(np.uint8)
+        self._cur_fl = None
+        fd = build_frame_mono(jnp.asarray(img), self.orb)
+        m.t_build = _time.perf_counter() - t0
+        return self._process_fd(fd, timestamp, m)
+
+    def _initialize_mono(self, fd: FrameData, timestamp: float,
+                         m: TrackMetrics):
+        """Monocular bootstrap (MonocularInitialization +
+        CreateInitialMapMonocular, Tracking.cc:558-770): hold a reference
+        frame, match, run the H/F initializer, build the scale-normalized
+        two-keyframe map."""
+        from ..optim import initializer
+
+        snap = self._snapshot_np(fd)
+        if self._init_ref is None:
+            if int(snap[0]["valid"].sum()) > 100:
+                self._init_ref = (fd, snap, timestamp)
+            return
+        ref_fd, ref_snap, ref_ts = self._init_ref
+        idx = np.asarray(matching.search_for_initialization(
+            ref_fd.feats, fd.feats))
+        valid = idx >= 0
+        if valid.sum() < 100:  # Tracking.cc:708-713 -> restart init
+            self._init_ref = (fd, snap, timestamp)
+            return
+        x1 = ref_snap[0]["xy"]
+        x2 = snap[0]["xy"][np.maximum(idx, 0)]
+        self._reloc_key, key = jax.random.split(self._reloc_key)
+        ok, R, t, X, good = initializer.initialize(
+            self.cam, jnp.asarray(x1), jnp.asarray(x2),
+            jnp.asarray(valid), key)
+        if not ok:
+            return  # keep reference, try next frame
+        # scale normalization: median depth -> 1 (Tracking.cc:745-760)
+        med = float(np.median(X[good][:, 2]))
+        if med <= 0:
+            self._init_ref = (fd, snap, timestamp)
+            return
+        X = X / med
+        t = t / med
+        s = self.store
+        T0 = np.eye(4, dtype=np.float32)
+        T1 = np.eye(4, dtype=np.float32)
+        T1[:3, :3] = R
+        T1[:3, 3] = t
+        kf0 = s.add_keyframe(T0, ref_snap[0], ref_snap[1],
+                             np.full(s.n_kp, -1, np.int32), 0, ref_ts)
+        kf1 = s.add_keyframe(T1, snap[0], snap[1],
+                             np.full(s.n_kp, -1, np.int32),
+                             self.frame_id, timestamp)
+        sel = np.nonzero(good)[0]
+        ids = s.create_points(kf0, sel, X[sel].astype(np.float32))
+        s.kf_pt_ids[kf1, idx[sel]] = ids
+        s.refresh_obs_counts()
+        self.T_cw = T1
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.ref_kf = kf1
+        self.last_kf_frame = self.frame_id
+        if self.enable_loops and self.loop_closer is None:
+            from ..loop.bow import Vocabulary
+            from ..loop.closing import LoopCloser
+            self.vocabulary = Vocabulary.train(
+                snap[0]["desc"][snap[0]["valid"]], k=8, L=3, seed=0)
+            self.loop_closer = LoopCloser(self.store, self.vocabulary, self.cfg)
+        if self.loop_closer is not None:
+            self.loop_closer.process_keyframe(kf0)
+            self.loop_closer.process_keyframe(kf1)
+        # no BA here: the two-view bootstrap is already the ML estimate, and
+        # a 2-KF monocular BA wanders along the scale gauge (one fixed KF
+        # leaves scale near-null; observed: init pose direction destroyed)
+        self.store.refresh_obs_counts()
+        self.state = TrackState.OK
+        self._has_velocity = False
+        kp2pt = np.full(s.n_kp, -1, np.int32)
+        kp2pt[idx[sel]] = ids
+        self._refresh_local_view()
+        self._refresh_ref_matches()
+        self._remember_frame(fd, kp2pt)
+        self._log_frame(timestamp)
+        m.new_kf = True
+        m.n_inliers = len(ids)
+        self._init_ref = None
+
+    def _process_fd(self, fd: FrameData, timestamp: float, m: TrackMetrics):
+        import time as _time
         t0 = _time.perf_counter()
         if self.state == TrackState.NOT_INITIALIZED:
             self._initialize(fd, timestamp, m)
@@ -342,7 +459,10 @@ class StereoTracker:
 
     def _initialize(self, fd: FrameData, timestamp: float, m: TrackMetrics):
         """StereoInitialization (Tracking.cc:520-556): all stereo-depth'd
-        keypoints become map points, the frame becomes KF 0 at identity."""
+        keypoints become map points, the frame becomes KF 0 at identity.
+        Monocular input dispatches to the H/F bootstrap instead."""
+        if self._mono:
+            return self._initialize_mono(fd, timestamp, m)
         feats, depth = self._snapshot_np(fd)
         n_depth = int(((depth > 0) & feats["valid"]).sum())
         if n_depth <= self.cfg.tracking.min_init_points:
@@ -358,7 +478,7 @@ class StereoTracker:
         Xw = np.stack([(uv[:, 0] - cam.cx) * z / cam.fx,
                        (uv[:, 1] - cam.cy) * z / cam.fy, z], -1).astype(np.float32)
         ids = self.store.create_points(kf, good, Xw)
-        if self.enable_lines:
+        if self.enable_lines and self._cur_fl is not None:
             self._cur_det2ln = None
             self._create_kf_lines(kf)
         self.T_cw = T0
@@ -635,7 +755,8 @@ class StereoTracker:
 
         # --- line association + joint point/line pose refinement ---
         self._cur_det2ln = None
-        if self.enable_lines and self._line_view is not None:
+        if self.enable_lines and self._line_view is not None \
+                and self._cur_fl is not None:
             fl = self._cur_fl
             cur = fd.feats
             pobs = pose_opt.PointPoseObs(
@@ -718,7 +839,7 @@ class StereoTracker:
             Xw = (T_wc[:3, :3] @ Xc.T).T + T_wc[:3, 3]
             ids = s.create_points(kf, sel, Xw.astype(np.float32))
             kp2pt[sel] = ids
-        if self.enable_lines:
+        if self.enable_lines and self._cur_fl is not None:
             self._create_kf_lines(kf)
         self.ref_kf = kf
         self.last_kf_frame = self.frame_id

@@ -31,11 +31,22 @@ class System:
         self.tracker = StereoTracker(cfg, vocabulary=vocabulary,
                                      enable_loops=enable_loops)
 
-    # -- frame input (System::TrackStereo, System.cc:121) ---------------
+    # -- frame input (System::TrackStereo/TrackRGBD, System.cc:121-194) --
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
                      timestamp: float = 0.0):
         """Returns (T_cw (4,4), per-frame metrics)."""
         return self.tracker.process(img_l, img_r, timestamp)
+
+    def track_rgbd(self, img: np.ndarray, depthmap: np.ndarray,
+                   timestamp: float = 0.0, depth_factor: float = 1.0):
+        """RGB-D input: depth map -> virtual stereo (Frame.cc:706-723)."""
+        return self.tracker.process_rgbd(img, depthmap, timestamp,
+                                         depth_factor)
+
+    def track_monocular(self, img: np.ndarray, timestamp: float = 0.0):
+        """Monocular input (System::TrackMonocular, System.cc:228-260):
+        H/F bootstrap, scale-free map."""
+        return self.tracker.process_mono(img, timestamp)
 
     @property
     def state(self) -> TrackState:
