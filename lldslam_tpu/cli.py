@@ -59,7 +59,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.dataset == "kitti":
-        seq = datasets.load_kitti(args.sequence)
+        seq = datasets.prefetch(datasets.load_kitti(args.sequence))
         fmt = args.format or "kitti"
         seq_name = args.sequence.rstrip("/").split("/")[-1]
     else:

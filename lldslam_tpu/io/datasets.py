@@ -47,6 +47,33 @@ class StereoSequence:
         return load_gray(self.left[i]), load_gray(self.right[i]), float(self.timestamps[i])
 
 
+class PrefetchedStereoSequence:
+    """StereoSequence backed by the native C++ threaded PNG prefetcher
+    (native/loader.cpp): frames decode ahead of the tracker off-thread."""
+
+    def __init__(self, seq: StereoSequence, window: int = 8,
+                 n_threads: int = 2):
+        from ..native import NativeImageLoader
+        self._left = NativeImageLoader(seq.left, window, n_threads)
+        self._right = NativeImageLoader(seq.right, window, n_threads)
+        self.timestamps = seq.timestamps
+
+    def __len__(self):
+        return len(self._left)
+
+    def frame(self, i: int):
+        return (self._left.frame(i), self._right.frame(i),
+                float(self.timestamps[i]))
+
+
+def prefetch(seq: StereoSequence, window: int = 8, n_threads: int = 2):
+    """Wrap with the native prefetcher when buildable; identity otherwise."""
+    try:
+        return PrefetchedStereoSequence(seq, window, n_threads)
+    except Exception:
+        return seq
+
+
 def load_kitti(seq_dir: str | Path) -> StereoSequence:
     """KITTI odometry layout: <seq>/times.txt, image_0/*.png, image_1/*.png
     (stereo_kitti.cc:147-181: %06d.png naming)."""

@@ -162,18 +162,27 @@ class LoopCloser:
             return out
 
         self._key, key = jax.random.split(self._key)
+        X1p = jnp.asarray(pad(X1.astype(np.float32)))
+        X2p = jnp.asarray(pad(X2.astype(np.float32)))
+        uv1p = jnp.asarray(pad(uv1.astype(np.float32)))
+        uv2p = jnp.asarray(pad(uv2.astype(np.float32)))
+        vmask = jnp.asarray(np.arange(cap) < n)
         (R, t, sc), inl, n_inl = sim3_solver.ransac_sim3(
-            cam, cam,
-            jnp.asarray(pad(X1.astype(np.float32))),
-            jnp.asarray(pad(X2.astype(np.float32))),
-            jnp.asarray(pad(uv1.astype(np.float32))),
-            jnp.asarray(pad(uv2.astype(np.float32))),
+            cam, cam, X1p, X2p, uv1p, uv2p,
             jnp.asarray(pad(s2_1, 1.0)), jnp.asarray(pad(s2_2, 1.0)),
-            jnp.asarray(np.arange(cap) < n), key)
-        n_inl = int(n_inl)
-        if n_inl < 20:  # accept gate (LoopClosing.cc:328-331)
+            vmask, key)
+        if int(n_inl) < 20:
             return None
-        return (np.asarray(R), np.asarray(t), float(sc)), n_inl
+        # GN refinement on the RANSAC inliers (OptimizeSim3 accept gate
+        # >= 20 inliers, LoopClosing.cc:328-331)
+        (R, t, sc), inl2, n_ref = sim3_solver.refine_sim3(
+            cam, cam, (R, t, sc), X1p, X2p, uv1p, uv2p,
+            jnp.asarray(1.0 / pad(s2_1, 1.0)), jnp.asarray(1.0 / pad(s2_2, 1.0)),
+            inl & vmask)
+        n_ref = int(n_ref)
+        if n_ref < 20:
+            return None
+        return (np.asarray(R), np.asarray(t), float(sc)), n_ref
 
     # ------------------------------------------------------------------
 

@@ -107,3 +107,68 @@ def ransac_sim3(
     scores = inl.sum(-1)
     best = jnp.argmax(scores)
     return (R[best], t[best], s[best]), inl[best], scores[best]
+
+
+@partial(jax.jit, static_argnames=("cam1", "cam2", "fix_scale", "iters"))
+def refine_sim3(
+    cam1: StereoCamera,
+    cam2: StereoCamera,
+    S12,                    # (R, t, s) initial relative Sim3
+    P1: jnp.ndarray,        # (N, 3) points in KF1 camera frame
+    P2: jnp.ndarray,        # (N, 3) points in KF2 camera frame
+    uv1: jnp.ndarray,
+    uv2: jnp.ndarray,
+    inv_sigma2_1: jnp.ndarray,
+    inv_sigma2_2: jnp.ndarray,
+    valid: jnp.ndarray,
+    fix_scale: bool = True,
+    iters: int = 10,
+):
+    """Bidirectional Sim3 projection refinement (Optimizer::OptimizeSim3,
+    reference src/Optimizer.cc:1656-1858): Huber GN on the 7-dof (6 when
+    scale fixed) relative transform with both-direction reprojection edges,
+    chi2 9.210 inlier reclassification. Returns ((R, t, s), inliers, n)."""
+    from ..geometry import sim3 as gs
+
+    R0, t0, s0 = S12
+    delta2 = 9.210  # chi2(2) at 99% x ... (Optimizer.cc:1707 deltaHuber^2)
+
+    def residuals(R, t, sc):
+        X1p = sc * (P2 @ R.T) + t
+        e1 = (_project(cam1, X1p) - uv1) * jnp.sqrt(inv_sigma2_1)[:, None]
+        Rt_ = R.T
+        X2p = (1.0 / sc) * ((P1 - t) @ Rt_.T)
+        e2 = (_project(cam2, X2p) - uv2) * jnp.sqrt(inv_sigma2_2)[:, None]
+        return e1, e2
+
+    def step(_, state):
+        R, t, sc, w = state
+
+        def res_vec(eps):
+            dR, dt, ds = gs.exp(eps)
+            Rn, tn, sn = gs.compose((dR, dt, ds), (R, t, sc))
+            e1, e2 = residuals(Rn, tn, sn)
+            return jnp.concatenate([e1, e2], 0).reshape(-1)
+
+        z = jnp.zeros(7)
+        r = res_vec(z)
+        J = jax.jacfwd(res_vec)(z)
+        if fix_scale:
+            J = J.at[:, 6].set(0.0)
+        chi2 = (r.reshape(-1, 2) ** 2).sum(-1)
+        hub = jnp.sqrt(jnp.minimum(1.0, delta2 / jnp.maximum(chi2, 1e-12)))
+        ww = (w * hub).repeat(2)
+        H = (J * ww[:, None]).T @ (J * ww[:, None]) + 1e-6 * jnp.eye(7)
+        g = -(J * ww[:, None]).T @ (r * ww)
+        dx = jnp.linalg.solve(H, g)
+        dR, dt, ds = gs.exp(dx)
+        Rn, tn, sn = gs.compose((dR, dt, ds), (R, t, sc))
+        return (Rn, tn, sn, w)
+
+    w0 = jnp.concatenate([valid, valid]).astype(jnp.float32)
+    R, t, sc, _ = jax.lax.fori_loop(0, iters, step, (R0, t0, s0, w0))
+    e1, e2 = residuals(R, t, sc)
+    c1 = (e1 ** 2).sum(-1)
+    c2 = (e2 ** 2).sum(-1)
+    inl = valid & (c1 < delta2) & (c2 < delta2)
+    return (R, t, sc), inl, inl.sum()

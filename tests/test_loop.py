@@ -201,3 +201,33 @@ class TestPoseGraph:
         drift_before = np.linalg.norm(est[K - 1][:3, 3] - gt[K - 1][:3, 3])
         drift_after = np.linalg.norm(t_opt[K - 1] - gt[K - 1][:3, 3])
         assert drift_after < 0.5 * drift_before
+
+
+class TestRefineSim3:
+    def test_refine_improves_noisy_ransac_estimate(self):
+        rng = np.random.default_rng(5)
+        n = 80
+        R_true = np.asarray(se3.exp(jnp.asarray(
+            np.array([0, 0, 0, 0.08, -0.05, 0.12], np.float32))))[:3, :3]
+        t_true = np.array([0.4, -0.2, 0.3], np.float32)
+        P2 = np.stack([rng.uniform(-3, 3, n), rng.uniform(-2, 2, n),
+                       rng.uniform(5, 15, n)], -1).astype(np.float32)
+        P1 = (R_true @ P2.T).T + t_true
+
+        def proj(P):
+            return np.stack([CAM.fx * P[:, 0] / P[:, 2] + CAM.cx,
+                             CAM.fy * P[:, 1] / P[:, 2] + CAM.cy], -1)
+        uv1 = proj(P1).astype(np.float32)
+        uv2 = proj(P2).astype(np.float32)
+        # perturbed initial estimate
+        dR = np.asarray(se3.exp(jnp.asarray(
+            np.array([0, 0, 0, 0.01, -0.008, 0.012], np.float32))))[:3, :3]
+        R0 = dR @ R_true
+        t0 = t_true + np.array([0.05, -0.03, 0.02], np.float32)
+        (R, t, s), inl, n_in = sim3_solver.refine_sim3(
+            CAM, CAM, (jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(1.0)),
+            jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(uv1),
+            jnp.asarray(uv2), jnp.ones(n), jnp.ones(n), jnp.ones(n, bool))
+        assert int(n_in) > 0.95 * n
+        np.testing.assert_allclose(np.asarray(R), R_true, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(t), t_true, atol=1e-2)
