@@ -68,6 +68,28 @@ def main(argv=None):
         seq = datasets.load_euroc(args.sequence, args.times)
         fmt = args.format or "tum"
         seq_name = None
+        # EuRoC raw images need undistort+rectify (stereo_euroc.cc:101-151)
+        from .config import parse_opencv_yaml
+        d = parse_opencv_yaml(args.settings)
+        if "LEFT.K" in d:
+            from .ops.rectify import StereoRectifier
+            rect = StereoRectifier(d)
+
+            class _RectSeq:
+                def __init__(self, inner):
+                    self.inner = inner
+                    self.timestamps = inner.timestamps
+
+                def __len__(self):
+                    return len(self.inner)
+
+                def frame(self, i):
+                    il, ir, ts = self.inner.frame(i)
+                    jl, jr = rect(il, ir)
+                    return (np.asarray(jl).astype(np.uint8),
+                            np.asarray(jr).astype(np.uint8), ts)
+
+            seq = _RectSeq(seq)
 
     system = System(args.settings, sequence=seq_name)
     run_sequence(system, seq, realtime=args.realtime, limit=args.limit)

@@ -1,0 +1,114 @@
+"""Distributed bundle adjustment scaling measurement (BASELINE.json target:
+BA iters/sec at 1 chip / N devices, >= 0.7 scaling efficiency).
+
+Builds a KITTI-00-scale synthetic global-BA problem (hundreds of keyframes,
+tens of thousands of landmarks, ~half a million observations), runs the
+matrix-free CG solver on a 1-device mesh and an observation-sharded N-device
+mesh, and reports iterations/second + scaling efficiency as ONE JSON line.
+
+On a host with virtual CPU devices the efficiency number is a compilation/
+correctness check, not a hardware measurement — the flag `simulated` says
+which. On a real multi-chip slice the same script measures true ICI scaling.
+
+    python tools/bench_distributed_ba.py [--devices N] [--iters 10]
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_problem(K=256, P=40_000, O=1 << 19, seed=0):
+    import jax.numpy as jnp
+    from lldslam_tpu.optim import ba
+
+    rng = np.random.default_rng(seed)
+    poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    poses[:, 2, 3] = -np.arange(K) * 1.0
+    t = np.arange(P) / P * K
+    pts = np.stack([
+        rng.uniform(-20, 20, P), rng.uniform(-5, 10, P),
+        -t + rng.uniform(5, 60, P),
+    ], -1).astype(np.float32)
+    k = rng.integers(0, K, O).astype(np.int32)
+    p = rng.integers(0, P, O).astype(np.int32)
+    cam = _camera()
+    Xc = np.einsum("oij,oj->oi", poses[k, :3, :3], pts[p]) + poses[k, :3, 3]
+    ok = Xc[:, 2] > 1.0
+    z = np.maximum(Xc[:, 2], 1.0)
+    u = cam.fx * Xc[:, 0] / z + cam.cx
+    v = cam.fy * Xc[:, 1] / z + cam.cy
+    ur = u - cam.bf / z
+    uvr = np.stack([u, v, ur], -1).astype(np.float32)
+    problem = ba.BAProblem(
+        poses=jnp.asarray(poses),
+        points=jnp.asarray(pts + rng.normal(0, 0.05, pts.shape).astype(np.float32)),
+        pose_fixed=jnp.asarray(np.arange(K) == 0),
+        point_valid=jnp.ones(P, bool),
+        obs=ba.BAObs(
+            k=jnp.asarray(k), p=jnp.asarray(p), uvr=jnp.asarray(uvr),
+            inv_sigma2=jnp.ones(O), is_stereo=jnp.ones(O, bool),
+            valid=jnp.asarray(ok),
+        ),
+    )
+    return problem
+
+
+def _camera():
+    from lldslam_tpu.geometry.camera import StereoCamera
+    return StereoCamera(fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
+                        bf=386.1448, width=1241, height=376)
+
+
+def time_solve(problem, mesh, iters, cam):
+    import jax
+    from lldslam_tpu.optim import ba
+    from lldslam_tpu.parallel import sharded_ba
+
+    if mesh is not None:
+        problem = sharded_ba.shard_problem(problem, mesh)
+    solved, chi2 = ba.ba_solve(cam, problem, iters=2, dense=False,
+                               cg_iters=24)  # compile + warm
+    jax.block_until_ready(chi2)
+    t0 = time.perf_counter()
+    solved, chi2 = ba.ba_solve(cam, problem, iters=iters, dense=False,
+                               cg_iters=24)
+    jax.block_until_ready(chi2)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--kfs", type=int, default=256)
+    args = ap.parse_args()
+
+    import jax
+    from lldslam_tpu.parallel import sharded_ba
+
+    devs = jax.devices()
+    n = args.devices or len(devs)
+    cam = _camera()
+    problem = build_problem(K=args.kfs)
+
+    t1 = time_solve(problem, sharded_ba.make_mesh(1), args.iters, cam)
+    tn = t1
+    if n > 1:
+        tn = time_solve(problem, sharded_ba.make_mesh(n), args.iters, cam)
+    eff = t1 / (tn * n) if n > 1 else 1.0
+    simulated = devs[0].platform == "cpu"
+    print(json.dumps({
+        "metric": "global_ba_iters_per_sec",
+        "value": round(1.0 / tn, 3),
+        "unit": "iters/s",
+        "devices": n,
+        "single_device_iters_per_sec": round(1.0 / t1, 3),
+        "scaling_efficiency": round(eff, 3),
+        "simulated": simulated,
+    }))
+
+
+if __name__ == "__main__":
+    main()
