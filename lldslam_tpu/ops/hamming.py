@@ -20,10 +20,29 @@ HISTO_LENGTH = 30
 INF_DIST = 10_000  # sentinel > any possible 256-bit distance
 
 
+def unpack_bits(a: jnp.ndarray) -> jnp.ndarray:
+    """(N, 8) uint32 packed descriptors -> (N, 256) bfloat16 {0, 1} bits."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (a[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    return bits.reshape(a.shape[0], 256).astype(jnp.bfloat16)
+
+
 def distance_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(N, 8) uint32 x (M, 8) uint32 -> (N, M) int32 Hamming distances."""
-    x = jax.lax.bitwise_xor(a[:, None, :], b[None, :, :])
-    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    """(N, 8) uint32 x (M, 8) uint32 -> (N, M) int32 Hamming distances.
+
+    MXU formulation: with bit matrices A, B in {0,1},
+    popcount(a XOR b) = |a| + |b| - 2 A.B^T — one (N,256)x(256,M) matmul on
+    the systolic array instead of an (N, M, 8) popcount pass on the VPU.
+    bf16 inputs are exact for 0/1; accumulation is forced to f32, so the
+    result is exact (max value 256)."""
+    A = unpack_bits(a)
+    B = unpack_bits(b)
+    ab = jax.lax.dot_general(
+        A, B, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    na = jnp.sum(A.astype(jnp.float32), axis=1)
+    nb = jnp.sum(B.astype(jnp.float32), axis=1)
+    return jnp.round(na[:, None] + nb[None, :] - 2.0 * ab).astype(jnp.int32)
 
 
 def distance_pairs(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
