@@ -148,22 +148,46 @@ def _ic_angle(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Intensity-centroid orientation (IC_Angle, ORBextractor.cc:77-104).
     xy (n, 2) int32 level coords -> (n,) radians.
 
-    The moments are correlations of the image with fixed x*mask / y*mask
-    kernels, so compute whole-image m10/m01 maps with one 2-channel conv on
-    the MXU and gather single pixels — the per-keypoint (n, 31, 31) patch
-    gather this replaces was the single most expensive op in extraction
-    (~60 ms/frame of scalar-gather traffic on TPU)."""
+    Moment maps m10/m01 over the radius-15 circular patch are computed from
+    per-row prefix sums: for each dy the row-window sum over
+    dx in [-u, u] (u = umax(|dy|)) is a difference of two statically shifted
+    prefix slices. ~31x6 elementwise ops/pixel, all fusable — replaces a
+    31x31x2 `conv_general_dilated` that XLA lowers catastrophically for
+    1-channel inputs on TPU (measured 330 ms/frame at KITTI L0; this form is
+    ~2 ms). The circular mask is dx-symmetric, so shifting intensities by a
+    constant (here 128) leaves both moments mathematically unchanged while
+    shrinking the prefix magnitudes f32 must carry."""
     h, w = img.shape
-    mask = _IC_MASK.astype(np.float32)
-    xs = np.mgrid[-15:16, -15:16][1].astype(np.float32)
-    ys = np.mgrid[-15:16, -15:16][0].astype(np.float32)
-    # XLA convolution IS correlation (no kernel flip)
-    kern = jnp.asarray(np.stack([xs * mask, ys * mask])[:, None])  # (2,1,31,31)
-    pad = jnp.pad(img, 15)[None, None]
-    mom = jax.lax.conv_general_dilated(pad, kern, (1, 1), "VALID")[0]
-    m10 = mom[0][xy[:, 1], xy[:, 0]]
-    m01 = mom[1][xy[:, 1], xy[:, 0]]
-    return jnp.arctan2(m01, m10)
+    HALF = 15
+    # per-|dy| row half-widths of the circular mask (umax, ORBextractor.cc:452)
+    umax = _IC_MASK[HALF:].sum(axis=1) // 2  # (16,) ints, index |dy|
+    I = img - 128.0
+    xc = (jnp.arange(w, dtype=jnp.float32) - 0.5 * w)
+    # prefix sums along x with a leading zero column: P[y, x] = sum I[y, :x]
+    z = jnp.zeros((h, 1), jnp.float32)
+    P0 = jnp.concatenate([z, jnp.cumsum(I, axis=1)], axis=1)          # (h, w+1)
+    P1 = jnp.concatenate([z, jnp.cumsum(I * xc[None, :], axis=1)], axis=1)
+    # pad so row y+dy and cols x+-u are always in range (keypoints never
+    # touch the border: EDGE_MARGIN=16 > HALF)
+    P0p = jnp.pad(P0, ((HALF, HALF), (HALF, HALF)))
+    P1p = jnp.pad(P1, ((HALF, HALF), (HALF, HALF)))
+    m10 = jnp.zeros((h, w), jnp.float32)
+    m01 = jnp.zeros((h, w), jnp.float32)
+    for dy in range(-HALF, HALF + 1):
+        u = int(umax[abs(dy)])
+        r0 = HALF + dy
+        # row-window sum S0(y,x) = P0[y+dy, x+u+1] - P0[y+dy, x-u]
+        hi0 = jax.lax.dynamic_slice(P0p, (r0, HALF + u + 1), (h, w))
+        lo0 = jax.lax.dynamic_slice(P0p, (r0, HALF - u), (h, w))
+        S0 = hi0 - lo0
+        hi1 = jax.lax.dynamic_slice(P1p, (r0, HALF + u + 1), (h, w))
+        lo1 = jax.lax.dynamic_slice(P1p, (r0, HALF - u), (h, w))
+        S1 = hi1 - lo1
+        m10 = m10 + (S1 - xc[None, :] * S0)
+        m01 = m01 + float(dy) * S0
+    g10 = m10[xy[:, 1], xy[:, 0]]
+    g01 = m01[xy[:, 1], xy[:, 0]]
+    return jnp.arctan2(g01, g10)
 
 
 def _brief_desc(blur: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:

@@ -68,40 +68,37 @@ def match_stereo(
     vl = jnp.round(kp_l.xy[:, 1] * inv_s).astype(jnp.int32)
     ur = jnp.round(u_r0 * inv_s).astype(jnp.int32)
 
-    def gather_patch(img, cx, cy):
-        h, w = img.shape
-        oy = jnp.arange(-W, W + 1)
-        ox = jnp.arange(-W, W + 1)
-        yy = jnp.clip(cy[:, None] + oy[None, :], 0, h - 1)
-        xx = jnp.clip(cx[:, None] + ox[None, :], 0, w - 1)
-        return img[yy[:, :, None], xx[:, None, :]]  # (n, 11, 11)
+    # One gather from a level-stacked pyramid instead of 16 full-size
+    # per-level gathers (the old static unroll over 8 levels cost ~64 ms at
+    # the KITTI workload; each keypoint only ever reads its own octave).
+    H0, W0 = pyr_l[0].shape
+    stk_l = jnp.stack([jnp.pad(p, ((0, H0 - p.shape[0]), (0, W0 - p.shape[1])))
+                       for p in pyr_l])  # (levels, H0, W0)
+    stk_r = jnp.stack([jnp.pad(p, ((0, H0 - p.shape[0]), (0, W0 - p.shape[1])))
+                       for p in pyr_r])
+    lh = jnp.asarray([p.shape[0] for p in pyr_l], jnp.int32)
+    lw = jnp.asarray([p.shape[1] for p in pyr_l], jnp.int32)
+    lvl = jnp.clip(kp_l.octave, 0, len(pyr_l) - 1)
+    hk = lh[lvl]  # (n,) per-keypoint level dims
+    wk = lw[lvl]
 
-    def gather_strip(img, cx, cy):
-        h, w = img.shape
-        oy = jnp.arange(-W, W + 1)
-        ox = jnp.arange(-W - L, W + L + 1)
-        yy = jnp.clip(cy[:, None] + oy[None, :], 0, h - 1)
-        xx = jnp.clip(cx[:, None] + ox[None, :], 0, w - 1)
-        return img[yy[:, :, None], xx[:, None, :]]  # (n, 11, 11 + 2L)
-
-    n = kp_l.capacity
-    sad = jnp.full((n, 2 * L + 1), jnp.inf, jnp.float32)
-    # Accumulate per-octave contributions (static unroll over levels; each kp
-    # uses only its own octave's slice via the mask).
-    for l, s in enumerate(cfg.scale_factors()):
-        sel = kp_l.octave == l
-        il, ir = pyr_l[l], pyr_r[l]
-        patch = gather_patch(il, ul, vl)  # (n, 11, 11)
-        strip = gather_strip(ir, ur, vl)  # (n, 11, 11+2L)
-        # center-subtract both (Frame.cc:624,644: IL - IL(center))
-        patch_c = patch - patch[:, W, W][:, None, None]
-        costs = []
-        for d in range(2 * L + 1):
-            win = jax.lax.dynamic_slice_in_dim(strip, d, 2 * W + 1, axis=2)
-            win_c = win - win[:, W, W][:, None, None]
-            costs.append(jnp.sum(jnp.abs(patch_c - win_c), axis=(1, 2)))
-        cost_l = jnp.stack(costs, axis=-1)  # (n, 2L+1)
-        sad = jnp.where(sel[:, None], cost_l, sad)
+    oy = jnp.arange(-W, W + 1)
+    ox_p = jnp.arange(-W, W + 1)
+    ox_s = jnp.arange(-W - L, W + L + 1)
+    yy = jnp.clip(vl[:, None] + oy[None, :], 0, hk[:, None] - 1)    # (n, 11)
+    xxp = jnp.clip(ul[:, None] + ox_p[None, :], 0, wk[:, None] - 1)  # (n, 11)
+    xxs = jnp.clip(ur[:, None] + ox_s[None, :], 0, wk[:, None] - 1)  # (n, 11+2L)
+    l3 = lvl[:, None, None]
+    patch = stk_l[l3, yy[:, :, None], xxp[:, None, :]]  # (n, 11, 11)
+    strip = stk_r[l3, yy[:, :, None], xxs[:, None, :]]  # (n, 11, 11+2L)
+    # center-subtract both (Frame.cc:624,644: IL - IL(center))
+    patch_c = patch - patch[:, W, W][:, None, None]
+    costs = []
+    for d in range(2 * L + 1):
+        win = jax.lax.dynamic_slice_in_dim(strip, d, 2 * W + 1, axis=2)
+        win_c = win - win[:, W, W][:, None, None]
+        costs.append(jnp.sum(jnp.abs(patch_c - win_c), axis=(1, 2)))
+    sad = jnp.stack(costs, axis=-1)  # (n, 2L+1)
 
     best_d = jnp.argmin(sad, axis=-1)
     best_c = jnp.take_along_axis(sad, best_d[:, None], axis=-1)[:, 0]

@@ -68,15 +68,12 @@ def point_jacobians_stereo(cam: StereoCamera, T_cw: jnp.ndarray, X: jnp.ndarray)
         ],
         axis=-2,
     )
-    # d Xc / d xi = [I | -hat(Xc)] (left-multiplicative increment)
-    dXc_dxi = jnp.concatenate(
-        [
-            jnp.broadcast_to(jnp.eye(3, dtype=Xc.dtype), Xc.shape[:-1] + (3, 3)),
-            -se3.hat(Xc),
-        ],
-        axis=-1,
-    )  # (..., 3, 6)
-    J_pose = -(dproj @ dXc_dxi)
+    # d Xc / d xi = [I | -hat(Xc)] (left-multiplicative increment), expanded
+    # in closed form: J_pose = [-dproj | dproj @ hat(Xc)], and row i of
+    # A @ hat(v) is a_i x v — elementwise ops instead of a huge batch of
+    # 3x3 @ 3x6 matmuls (XLA lowers tiny batched dots poorly on TPU).
+    Jw = jnp.cross(dproj, Xc[..., None, :])
+    J_pose = jnp.concatenate([-dproj, Jw], axis=-1)
     J_point = -(dproj @ R)
     return J_pose, J_point, Xc
 

@@ -104,17 +104,22 @@ class LocalMapper:
         free1 = s.kf_kp_valid[kf_id] & (s.kf_pt_ids[kf_id] < 0)
         created: list[int] = []
         claimed = np.zeros(s.n_kp, bool)
-        for nb in covis[:3]:  # cap device calls; best neighbors first
-            nb = int(nb)
-            free2 = s.kf_kp_valid[nb] & (s.kf_pt_ids[nb] < 0)
-            buf = np.asarray(mapping_ops.triangulate_pair(
-                s.cam, jnp.asarray(s.kf_pose[kf_id]), jnp.asarray(s.kf_pose[nb]),
-                jnp.asarray(s.kf_xy[kf_id]), jnp.asarray(s.kf_desc[kf_id]),
-                jnp.asarray(s.kf_oct[kf_id]), jnp.asarray(free1 & ~claimed),
-                jnp.asarray(s.kf_xy[nb]), jnp.asarray(s.kf_desc[nb]),
-                jnp.asarray(s.kf_oct[nb]), jnp.asarray(free2), lut))
-            n_good, match, X = mapping_ops.unpack_triangulate_np(buf, s.n_kp)
-            sel = np.nonzero(match >= 0)[0]
+        nbs = [int(nb) for nb in covis[:3]]  # best neighbors first
+        free2s = s.kf_kp_valid[nbs] & (s.kf_pt_ids[nbs] < 0)
+        # all neighbors in ONE batched device call; the greedy claim order
+        # (a feature triangulated against the best neighbor is no longer
+        # free for the next) is applied on host below, as the reference's
+        # sequential neighbor loop does (LocalMapping.cc:243+)
+        bufs = np.asarray(mapping_ops.triangulate_pairs(
+            s.cam, jnp.asarray(s.kf_pose[kf_id]),
+            jnp.asarray(s.kf_xy[kf_id]), jnp.asarray(s.kf_desc[kf_id]),
+            jnp.asarray(s.kf_oct[kf_id]), jnp.asarray(free1),
+            jnp.asarray(s.kf_pose[nbs]), jnp.asarray(s.kf_xy[nbs]),
+            jnp.asarray(s.kf_desc[nbs]), jnp.asarray(s.kf_oct[nbs]),
+            jnp.asarray(free2s), lut))
+        for bi, nb in enumerate(nbs):
+            n_good, match, X = mapping_ops.unpack_triangulate_np(bufs[bi], s.n_kp)
+            sel = np.nonzero((match >= 0) & ~claimed)[0]
             if len(sel) == 0:
                 continue
             if s.n_pt + len(sel) > s.max_pt:
@@ -162,18 +167,18 @@ class LocalMapper:
                 [np.ones(len(pids), bool), np.zeros(pad, bool)])),
         )
         pid_arr = np.concatenate([pids, np.full(pad, -1, np.int64)])
-        for nb in covis[:2]:  # cap device calls
-            nb = int(nb)
-            feats = matching.FrameFeatures(
-                xy=jnp.asarray(s.kf_xy[nb]), ur=jnp.asarray(s.kf_ur[nb]),
-                octave=jnp.asarray(s.kf_oct[nb]),
-                angle=jnp.asarray(s.kf_angle[nb]),
-                desc=jnp.asarray(s.kf_desc[nb]),
-                valid=jnp.asarray(s.kf_kp_valid[nb]))
-            buf = np.asarray(mapping_ops.fuse_candidates(
-                s.cam, jnp.asarray(s.kf_pose[nb]), view, feats,
-                n_levels=s.cfg.n_levels, scale=s.cfg.scale))
-            kp2pt = buf[cap:]
+        nbs = [int(nb) for nb in covis[:2]]
+        feats_s = matching.FrameFeatures(
+            xy=jnp.asarray(s.kf_xy[nbs]), ur=jnp.asarray(s.kf_ur[nbs]),
+            octave=jnp.asarray(s.kf_oct[nbs]),
+            angle=jnp.asarray(s.kf_angle[nbs]),
+            desc=jnp.asarray(s.kf_desc[nbs]),
+            valid=jnp.asarray(s.kf_kp_valid[nbs]))
+        bufs = np.asarray(mapping_ops.fuse_candidates_multi(
+            s.cam, jnp.asarray(s.kf_pose[nbs]), view, feats_s,
+            n_levels=s.cfg.n_levels, scale=s.cfg.scale))
+        for bi, nb in enumerate(nbs):
+            kp2pt = bufs[bi][cap:]
             hit = np.nonzero(kp2pt >= 0)[0]
             for kp in hit:
                 p = int(pid_arr[kp2pt[kp]])

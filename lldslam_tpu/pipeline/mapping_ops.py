@@ -129,6 +129,19 @@ def triangulate_pair(
     return packed
 
 
+@partial(jax.jit, static_argnames=("cam",))
+def triangulate_pairs(cam: StereoCamera, T1, xy1, desc1, oct1, free1,
+                      T2s, xy2s, desc2s, oct2s, free2s, inv_sigma2_lut):
+    """`triangulate_pair` batched over B neighbor keyframes (axis 0 of the
+    `*2s` arrays) — ONE device program / round trip instead of B (each
+    round trip costs ~30 ms over a remote-tunneled TPU). Returns (B, L)."""
+    return jax.vmap(
+        lambda T2, xy2, desc2, oct2, free2: triangulate_pair(
+            cam, T1, T2, xy1, desc1, oct1, free1,
+            xy2, desc2, oct2, free2, inv_sigma2_lut)
+    )(T2s, xy2s, desc2s, oct2s, free2s)
+
+
 def unpack_triangulate_np(buf, n):
     import numpy as np
     n_good = int(buf[0])
@@ -153,3 +166,13 @@ def fuse_candidates(
     pt2kp, kp2pt, _, _ = matching.search_by_projection(
         cam, T_kf, view, kf_feats, n_levels=n_levels, scale=scale, th=0.75)
     return jnp.concatenate([pt2kp, kp2pt])
+
+
+@partial(jax.jit, static_argnames=("cam", "n_levels", "scale"))
+def fuse_candidates_multi(cam: StereoCamera, T_kfs, view, kf_feats_s,
+                          n_levels: int = 8, scale: float = 1.2):
+    """`fuse_candidates` batched over B target keyframes (one round trip)."""
+    return jax.vmap(
+        lambda T, f: fuse_candidates(cam, T, view, f,
+                                     n_levels=n_levels, scale=scale)
+    )(T_kfs, kf_feats_s)
