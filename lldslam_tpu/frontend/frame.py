@@ -111,12 +111,16 @@ def build_frame(
 ) -> FrameData:
     # accept uint8 frames: callers upload 1 byte/px through the (slow)
     # host->device link and the cast runs on device
-    img_l = img_l.astype(jnp.float32)
-    img_r = img_r.astype(jnp.float32)
-    kp_l = orb.extract(img_l, cfg)
-    kp_r = orb.extract(img_r, cfg)
-    pyr_l = image.build_pyramid(img_l, cfg.n_levels, cfg.scale)
-    pyr_r = image.build_pyramid(img_r, cfg.n_levels, cfg.scale)
+    stack = jnp.stack([img_l, img_r]).astype(jnp.float32)     # (2, H, W)
+    # ONE pyramid program for both views, shared with the stereo SAD
+    # refinement; extraction vmapped over the pair (the reference forks two
+    # threads here, Frame.cc:101-104 — batching is the TPU equivalent)
+    pyr = image.build_pyramid(stack, cfg.n_levels, cfg.scale)
+    kp_both = jax.vmap(partial(orb.extract_pyr, cfg=cfg))(tuple(pyr))
+    kp_l = jax.tree.map(lambda a: a[0], kp_both)
+    kp_r = jax.tree.map(lambda a: a[1], kp_both)
+    pyr_l = [p[0] for p in pyr]
+    pyr_r = [p[1] for p in pyr]
     u_right, depth = stereo.match_stereo(kp_l, kp_r, pyr_l, pyr_r, cam, cfg)
     feats = FrameFeatures(
         xy=kp_l.xy,

@@ -61,6 +61,11 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
 
+    def warmup(self):
+        warmup_loop_programs(self.store.cam)
+
+    # ------------------------------------------------------------------
+
     def _kf_bow(self, kf_id: int):
         s = self.store
         valid = s.kf_kp_valid[kf_id]
@@ -293,7 +298,7 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
 
-    def global_ba(self, iters: int = 20, cg_iters: int = 64):
+    def global_ba(self, iters: int = 10, cg_iters: int = 64):
         """Full-map BA on the matrix-free CG path (BundleAdjustment,
         Optimizer.cc:321-560; 10 iterations, LoopClosing.cc:652)."""
         s = self.store
@@ -351,3 +356,72 @@ class LoopCloser:
                                    cg_iters=cg_iters)
         s.kf_pose[:K] = np.asarray(solved.poses)[:K]
         s.pt_pos[pids] = np.asarray(solved.points)[: len(pids)]
+
+
+def warmup_loop_programs(cam) -> None:
+    """Pre-compile the rare-path device programs (Sim3 RANSAC + GN refine,
+    Sim(3) pose graph, global-BA CG) on their first-bucket shapes. A loop
+    closure fires once every few thousand frames; without this the first
+    event pays the full remote-compile latency (~20-60 s per program on a
+    tunneled TPU) in the middle of tracking. All three paths pad to static
+    buckets, so one dummy call per bucket compiles the exact executable the
+    real event reuses. Vocabulary-independent."""
+    rng = np.random.default_rng(0)
+    # --- Sim3 RANSAC + refine (cap 512, _compute_sim3) ---
+    cap = 512
+    X = jnp.asarray(rng.uniform(1.0, 5.0, (cap, 3)).astype(np.float32))
+    uv = jnp.asarray(rng.uniform(50, 200, (cap, 2)).astype(np.float32))
+    s2 = jnp.ones(cap, jnp.float32)
+    vmask = jnp.asarray(np.arange(cap) < 64)
+    key = jax.random.PRNGKey(7)
+    (R, t, sc), inl, _ = sim3_solver.ransac_sim3(
+        cam, cam, X, X, uv, uv, s2, s2, vmask, key)
+    sim3_solver.refine_sim3(cam, cam, (R, t, sc), X, X, uv, uv,
+                            s2, s2, inl & vmask)
+    # --- Sim(3) pose graph (kcap 64, ecap 256, _correct) ---
+    kcap, ecap = 64, 256
+    eye3 = np.tile(np.eye(3, dtype=np.float32), (kcap, 1, 1))
+    m_eye = np.tile(np.eye(3, dtype=np.float32), (ecap, 1, 1))
+    e_i = np.arange(ecap, dtype=np.int32) % kcap
+    e_j = (e_i + 1) % kcap
+    fixed = np.zeros(kcap, bool)
+    fixed[0] = True
+    g = pose_graph.PoseGraph(
+        R=jnp.asarray(eye3),
+        t=jnp.asarray(rng.normal(0, 0.01, (kcap, 3)).astype(np.float32)),
+        s=jnp.ones(kcap, jnp.float32),
+        fixed=jnp.asarray(fixed),
+        e_i=jnp.asarray(e_i), e_j=jnp.asarray(e_j),
+        m_R=jnp.asarray(m_eye),
+        m_t=jnp.zeros((ecap, 3), jnp.float32),
+        m_s=jnp.ones(ecap, jnp.float32),
+        e_valid=jnp.asarray(np.arange(ecap) < 16),
+    )
+    pose_graph.optimize_pose_graph(g, iters=15, cg_iters=48)
+    # --- global BA, CG path (kcap 64, pcap 2048, ocap 4096) ---
+    kb, pb, ob = 64, 2048, 4096
+    poses = np.tile(np.eye(4, dtype=np.float32), (kb, 1, 1))
+    pts = np.stack([rng.uniform(-5, 5, pb), rng.uniform(-3, 3, pb),
+                    rng.uniform(8, 20, pb)], -1).astype(np.float32)
+    k_o = rng.integers(0, 4, ob).astype(np.int32)
+    p_o = rng.integers(0, pb, ob).astype(np.int32)
+    z = pts[p_o, 2]
+    uvr = np.stack([cam.fx * pts[p_o, 0] / z + cam.cx,
+                    cam.fy * pts[p_o, 1] / z + cam.cy,
+                    cam.fx * pts[p_o, 0] / z + cam.cx - cam.bf / z],
+                   -1).astype(np.float32)
+    fixedk = np.zeros(kb, bool)
+    fixedk[0] = True
+    fixedk[4:] = True
+    problem = ba.BAProblem(
+        poses=jnp.asarray(poses), points=jnp.asarray(pts),
+        pose_fixed=jnp.asarray(fixedk),
+        point_valid=jnp.ones(pb, bool),
+        obs=ba.BAObs(
+            k=jnp.asarray(k_o), p=jnp.asarray(p_o),
+            uvr=jnp.asarray(uvr), inv_sigma2=jnp.ones(ob, jnp.float32),
+            is_stereo=jnp.ones(ob, bool),
+            valid=jnp.asarray(np.arange(ob) < ob // 2)))
+    solved, _ = ba.ba_solve(cam, problem, iters=10, dense=False,
+                            cg_iters=64)
+    np.asarray(solved.poses)  # force execution through the tunnel

@@ -27,14 +27,18 @@ def pyramid_shapes(h: int, w: int, n_levels: int, scale: float):
 
 
 def build_pyramid(img: jnp.ndarray, n_levels: int, scale: float):
-    """img (H, W) float32 -> list of n_levels arrays, bilinear downsample."""
-    h, w = img.shape
+    """img (..., H, W) float32 -> list of n_levels arrays, bilinear
+    downsample. Leading batch dims pass through (the stereo frontend stacks
+    left+right into one (2, H, W) program for better VPU utilization)."""
+    h, w = img.shape[-2:]
+    batch = img.shape[:-2]
     shapes = pyramid_shapes(h, w, n_levels, scale)
     out = [img]
     for l in range(1, n_levels):
         # Resize from the previous level (as the reference does), not from L0.
         out.append(
-            jax.image.resize(out[-1], shapes[l], method="linear", antialias=False)
+            jax.image.resize(out[-1], batch + shapes[l],
+                             method="linear", antialias=False)
         )
     return out
 

@@ -127,7 +127,19 @@ def _select_level_keypoints(score: jnp.ndarray, n_out: int, cfg: OrbConfig):
     pad = jnp.pad(score, ((0, ch * c - h), (0, cw * c - w)))
     cells = pad.reshape(ch, c, cw, c).transpose(0, 2, 1, 3).reshape(ch, cw, c * c)
     k = min(max(1, -(-n_out // (ch * cw))) + 1, cfg.cell_k, c * c)
-    cell_scores, cell_idx = jax.lax.top_k(cells, k)  # (ch, cw, k)
+    # per-cell best-k by k rounds of (max, argmax, mask) — k is tiny (<= 4),
+    # so this beats lax.top_k's full bitonic sort over the 900-wide cell axis
+    lanes = jax.lax.broadcasted_iota(jnp.int32, cells.shape, 2)
+    vs, ids = [], []
+    rest = cells
+    for _ in range(k):
+        a = jnp.argmax(rest, axis=-1)                       # (ch, cw)
+        v = jnp.max(rest, axis=-1)
+        vs.append(v)
+        ids.append(a.astype(jnp.int32))
+        rest = jnp.where(lanes == a[..., None], -jnp.inf, rest)
+    cell_scores = jnp.stack(vs, axis=-1)                    # (ch, cw, k)
+    cell_idx = jnp.stack(ids, axis=-1)
     cy = jax.lax.broadcasted_iota(jnp.int32, (ch, cw, k), 0)
     cx = jax.lax.broadcasted_iota(jnp.int32, (ch, cw, k), 1)
     ys = cy * c + cell_idx // c
@@ -214,6 +226,14 @@ def _brief_desc(blur: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray) -> jnp.n
 def extract(img: jnp.ndarray, cfg: OrbConfig = OrbConfig()) -> Keypoints:
     """Full ORB extraction for one grayscale float32 image (H, W)."""
     pyr = image.build_pyramid(img, cfg.n_levels, cfg.scale)
+    return extract_pyr(tuple(pyr), cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_pyr(pyr, cfg: OrbConfig = OrbConfig()) -> Keypoints:
+    """ORB extraction from a prebuilt pyramid (tuple of (H_l, W_l) arrays).
+    Lets the frame builder share one pyramid between extraction and stereo
+    refinement, and vmap left+right into a single batched program."""
     budgets = cfg.per_level_budget()
     scales = cfg.scale_factors()
     parts = []

@@ -121,6 +121,129 @@ def _line_blocks(problem: JointProblem, r, Jc, Jl, W):
     return Hcc, bc, Hll, bl, Wcl
 
 
+def _densify_lobs(problem: JointProblem):
+    """Scatter the (O,) line-observation table into dense (K, L) grids once
+    (a line is observed at most once per keyframe) — same TPU rationale as
+    `ba._densify_obs`: the LM loop then runs scatter-free."""
+    K = problem.base.poses.shape[0]
+    L = problem.q.shape[0]
+    o = problem.lobs
+    v = o.valid
+    k = jnp.where(v, o.k, K)
+    l = jnp.where(v, o.l, L)
+    z2 = jnp.zeros((K, L, 2))
+    x1l = z2.at[k, l].set(o.x1l, mode="drop")
+    x2l = z2.at[k, l].set(o.x2l, mode="drop")
+    x1r = z2.at[k, l].set(o.x1r, mode="drop")
+    x2r = z2.at[k, l].set(o.x2r, mode="drop")
+    oct_g = jnp.zeros((K, L), jnp.int32).at[k, l].set(o.octave, mode="drop")
+    hasr_g = jnp.zeros((K, L), bool).at[k, l].set(o.has_r, mode="drop")
+    val_g = jnp.zeros((K, L), bool).at[k, l].set(True, mode="drop")
+    return x1l, x2l, x1r, x2r, oct_g, hasr_g, val_g
+
+
+def _line_terms_grid(cam: StereoCamera, poses, q, alpha, line_valid,
+                     x1l, x2l, x1r, x2r, oct_g, hasr_g, val_g,
+                     gamma: float, robust: bool, delta_scale=1.0):
+    """Grid-shaped `_line_terms` over the dense (K, L) observation grid.
+    Returns r (K,L,4), Jc (K,L,4,6), Jl (K,L,4,4), W (K,L,4), chi2 (K,L)."""
+    K, L = val_g.shape
+    T = jnp.broadcast_to(poses[:, None], (K, L, 4, 4)).reshape(K * L, 4, 4)
+    Tr = glines.right_camera_pose(T, cam.baseline)
+    qf = jnp.broadcast_to(q[None], (K, L, 4)).reshape(K * L, 4)
+    af = jnp.broadcast_to(alpha[None], (K, L)).reshape(K * L)
+    flat2 = lambda a: a.reshape(K * L, 2)
+
+    def one(T, Tr, q, a, x1l, x2l, x1r, x2r):
+        rl = res.line_residual(cam, T, q, a, x1l, x2l)
+        rr = res.line_residual(cam, Tr, q, a, x1r, x2r)
+        return jnp.concatenate([rl, rr])
+
+    def one_jac(T, Tr, q, a, x1l, x2l, x1r, x2r):
+        def f(eps_pose, eps_line):
+            Tp = se3.exp(eps_pose) @ T
+            Trp = glines.right_camera_pose(Tp, cam.baseline)
+            dq = res._quat_increment(eps_line[:3])
+            q2 = res._quat_mul(dq, q)
+            a2 = a + eps_line[3]
+            rl = res.line_residual(cam, Tp, q2, a2, x1l, x2l)
+            rr = res.line_residual(cam, Trp, q2, a2, x1r, x2r)
+            return jnp.concatenate([rl, rr])
+        z6 = jnp.zeros(6, T.dtype)
+        z4 = jnp.zeros(4, T.dtype)
+        Jc = jax.jacfwd(lambda e: f(e, z4))(z6)
+        Jl = jax.jacfwd(lambda e: f(z6, e))(z4)
+        return Jc, Jl
+
+    args = (T, Tr, qf, af, flat2(x1l), flat2(x2l), flat2(x1r), flat2(x2r))
+    r = jax.vmap(one)(*args).reshape(K, L, 4)
+    Jc, Jl = jax.vmap(one_jac)(*args)
+    Jc = Jc.reshape(K, L, 4, 6)
+    Jl = Jl.reshape(K, L, 4, 4)
+
+    info = (gamma * gamma) / (LINE_PYR_FACTOR
+                              ** (2.0 * oct_g.astype(jnp.float32)))
+    row_mask = jnp.concatenate([
+        jnp.ones((K, L, 2), jnp.float32),
+        jnp.broadcast_to(hasr_g.astype(jnp.float32)[..., None], (K, L, 2)),
+    ], axis=-1)                                              # (K, L, 4)
+    X0, d = glines.x0dir_from_minimal(q, alpha)              # (L, 3)
+    Xc0, _ = glines.transform_line(poses[:, None], X0[None], d[None])
+    chi2_raw = info * jnp.sum(r * r * row_mask, axis=-1)
+    active = (val_g & line_valid[None, :] & (Xc0[..., 2] > 0.05)
+              & jnp.isfinite(chi2_raw) & (chi2_raw < 1e6)).astype(r.dtype)
+    r = r * active[..., None]
+    Jc = Jc * active[..., None, None]
+    Jl = Jl * active[..., None, None]
+    chi2 = info * jnp.sum(r * r * row_mask, axis=-1)
+    delta_sq = (res.CHI2_STEREO * gamma * gamma) * delta_scale
+    hub = res.huber_weight(chi2, delta_sq) if robust else 1.0
+    W = (info * hub * active)[..., None] * row_mask
+    return r, Jc, Jl, W, chi2
+
+
+def _line_blocks_grid(r, Jc, Jl, W):
+    """Line normal-equation blocks from grid terms — einsums only."""
+    JcW = Jc * W[..., None]                                   # (K, L, 4, 6)
+    Hcc = jnp.einsum("klri,klrj->kij", JcW, Jc)
+    bc = -jnp.einsum("klri,klr->ki", JcW, r)
+    JlW = Jl * W[..., None]
+    Hll = jnp.einsum("klri,klrj->lij", JlW, Jl)
+    bl = -jnp.einsum("klri,klr->li", JlW, r)
+    Bl = jnp.einsum("klri,klrj->klij", JcW, Jl)               # (K, L, 6, 4)
+    return Hcc, bc, Hll, bl, Bl
+
+
+def _inv4x4(A):
+    """Batched 4x4 inverse by blockwise elimination on 2x2 sub-blocks
+    (closed-form 2x2 inverses; no serialized LU). A is damped SPD."""
+    a = A[..., :2, :2]
+    b = A[..., :2, 2:]
+    c = A[..., 2:, :2]
+    d = A[..., 2:, 2:]
+
+    def inv2(M):
+        m00, m01 = M[..., 0, 0], M[..., 0, 1]
+        m10, m11 = M[..., 1, 0], M[..., 1, 1]
+        det = m00 * m11 - m01 * m10
+        idet = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+        row0 = jnp.stack([m11, -m01], -1)
+        row1 = jnp.stack([-m10, m00], -1)
+        return jnp.stack([row0, row1], -2) * idet[..., None, None]
+
+    ai = inv2(a)
+    schur = d - c @ ai @ b
+    si = inv2(schur)
+    aib = ai @ b
+    cai = c @ ai
+    top_left = ai + aib @ si @ cai
+    top_right = -(aib @ si)
+    bot_left = -(si @ cai)
+    top = jnp.concatenate([top_left, top_right], axis=-1)
+    bot = jnp.concatenate([bot_left, si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def _apply_line_update(problem: JointProblem, dl):
     dq = res._quat_increment(dl[:, :3])
     q = res._quat_mul(dq, problem.q)
@@ -137,12 +260,22 @@ def joint_ba_solve(
     robust: bool = True,
     gnc: bool = True,
 ):
-    """LM iterations on the joint problem (dense two-class Schur).
+    """LM iterations on the joint problem (dense two-class Schur) over the
+    dense (K, P) point grid + (K, L) line grid — scatter-free iterations.
     Returns (problem', point chi2 (Op,), line chi2 (Ol,))."""
+    uvr_g, w_g, st_g, pval_g = ba._densify_obs(problem.base)
+    lx1l, lx2l, lx1r, lx2r, loct, lhasr, lval_g = _densify_lobs(problem)
+    point_valid = problem.base.point_valid
+    pose_fixed = problem.base.pose_fixed
 
     def total_cost(pb, dscale):
-        c = ba._total_cost(cam, pb.base, robust, dscale)
-        r, _, _, W, chi2 = _line_terms(cam, pb, gamma, robust, dscale)
+        c = ba._total_cost_grid(cam, pb.base.poses, pb.base.points,
+                                point_valid, uvr_g, w_g, st_g, pval_g,
+                                robust, dscale)
+        r, _, _, W, chi2 = _line_terms_grid(
+            cam, pb.base.poses, pb.q, pb.alpha, pb.line_valid,
+            lx1l, lx2l, lx1r, lx2r, loct, lhasr, lval_g,
+            gamma, robust, dscale)
         delta_sq = (res.CHI2_STEREO * gamma * gamma) * dscale
         lc = jnp.sum(res.huber_rho(chi2, delta_sq)
                      * (chi2 > 0).astype(r.dtype)) if robust else jnp.sum(chi2)
@@ -151,34 +284,33 @@ def joint_ba_solve(
     def body(i, state):
         problem, lam = state
         dscale = jnp.maximum(1.0, 64.0 * 0.5 ** i) if gnc else 1.0
-        # point system
-        rp, Jcp, Jp, Wp, _, _ = ba._terms(cam, problem.base, robust, dscale)
-        Hcc, bc, Hpp, bp, Wcp = ba._build_blocks(problem.base, rp, Jcp, Jp, Wp)
-        # line system
-        rl, Jcl, Jl, Wl, _ = _line_terms(cam, problem, gamma, robust, dscale)
-        Hcc_l, bc_l, Hll, bl, Wcl = _line_blocks(problem, rl, Jcl, Jl, Wl)
+        # point system (grid)
+        rp, Jcp, Jp, Wp, _ = ba._terms_grid(
+            cam, problem.base.poses, problem.base.points, point_valid,
+            uvr_g, w_g, st_g, pval_g, robust, dscale)
+        Hcc, bc, Hpp, bp, Bp = ba._build_blocks_grid(rp, Jcp, Jp, Wp)
+        # line system (grid)
+        rl, Jcl, Jl, Wl, _ = _line_terms_grid(
+            cam, problem.base.poses, problem.q, problem.alpha,
+            problem.line_valid, lx1l, lx2l, lx1r, lx2r, loct, lhasr, lval_g,
+            gamma, robust, dscale)
+        Hcc_l, bc_l, Hll, bl, Bl = _line_blocks_grid(rl, Jcl, Jl, Wl)
         Hcc = Hcc + Hcc_l
         bc = bc + bc_l
 
         K = problem.base.poses.shape[0]
-        P = problem.base.points.shape[0]
-        L = problem.q.shape[0]
-        o = problem.base.obs
-        ol = problem.lobs
 
         Hpp_d = ba._damp_diag(Hpp, lam)
-        seen_p = jnp.zeros((P,)).at[o.p].add(jnp.abs(Wcp).sum(axis=(1, 2))) > 0
+        seen_p = jnp.abs(Bp).sum(axis=(0, 2, 3)) > 0
         Hpp_d = jnp.where(seen_p[:, None, None], Hpp_d,
                           jnp.eye(3, dtype=Hpp.dtype)[None])
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Hpp_inv = ba._inv3x3(Hpp_d)
         Hll_d = ba._damp_diag(Hll, lam)
-        seen_l = jnp.zeros((L,)).at[ol.l].add(jnp.abs(Wcl).sum(axis=(1, 2))) > 0
+        seen_l = jnp.abs(Bl).sum(axis=(0, 2, 3)) > 0
         Hll_d = jnp.where(seen_l[:, None, None], Hll_d,
                           jnp.eye(4, dtype=Hll.dtype)[None])
-        Hll_inv = jnp.linalg.inv(Hll_d)
+        Hll_inv = _inv4x4(Hll_d)
 
-        Bp = jnp.zeros((K, P, 6, 3)).at[o.k, o.p].add(Wcp)
-        Bl = jnp.zeros((K, L, 6, 4)).at[ol.k, ol.l].add(Wcl)
         BHp = jnp.einsum("kpij,pjl->kpil", Bp, Hpp_inv)
         BHl = jnp.einsum("klij,ljm->klim", Bl, Hll_inv)
         S = jnp.einsum("kij,kq->kiqj", ba._damp_diag(Hcc, lam),
@@ -197,7 +329,7 @@ def joint_ba_solve(
         dc = (y * dsi).reshape(K, 6)
         dp = jnp.einsum("pij,pj->pi", Hpp_inv,
                         bp - jnp.einsum("kpij,ki->pj", Bp, dc))
-        dp = dp * problem.base.point_valid[:, None]
+        dp = dp * point_valid[:, None]
         dl = jnp.einsum("lij,lj->li", Hll_inv,
                         bl - jnp.einsum("klij,ki->lj", Bl, dc))
         dl = dl * problem.line_valid[:, None]

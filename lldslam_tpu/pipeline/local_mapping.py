@@ -48,6 +48,14 @@ class LocalMapper:
         self.k_cap = k_local + k_fixed
         self.p_cap = p_cap
         self.o_cap = o_cap
+        # size buckets: the BA grid costs O(K * P_cap) per iteration, and a
+        # young map fills a fraction of the max capacity. Pad to the smallest
+        # bucket that fits, growing monotonically (each bucket compiles its
+        # program once; shrinking would flip-flop recompiles).
+        self.p_buckets = [b for b in (1024, 2048, 4096, 8192) if b <= p_cap]
+        if not self.p_buckets or self.p_buckets[-1] != p_cap:
+            self.p_buckets.append(p_cap)
+        self._p_bucket = self.p_buckets[0]
         self.l_cap = l_cap
         self.lo_cap = lo_cap
         self.ba_interval = ba_interval
@@ -59,6 +67,39 @@ class LocalMapper:
         self._kf_count = 0
 
     # ------------------------------------------------------------------
+
+    def warmup(self):
+        """Pre-compile the local-BA program at every point-capacity bucket
+        (the bucket grows as the map grows; each growth would otherwise pay
+        a ~15-25 s remote compile mid-sequence)."""
+        rng = np.random.default_rng(0)
+        cam = self.cam
+        K = self.k_cap
+        for P in self.p_buckets:
+            O = 3 * P
+            poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+            pts = np.stack([rng.uniform(-5, 5, P), rng.uniform(-3, 3, P),
+                            rng.uniform(8, 20, P)], -1).astype(np.float32)
+            k_o = rng.integers(0, max(K // 2, 1), O).astype(np.int32)
+            p_o = rng.integers(0, P, O).astype(np.int32)
+            z = pts[p_o, 2]
+            uvr = np.stack([cam.fx * pts[p_o, 0] / z + cam.cx,
+                            cam.fy * pts[p_o, 1] / z + cam.cy,
+                            cam.fx * pts[p_o, 0] / z + cam.cx - cam.bf / z],
+                           -1).astype(np.float32)
+            fixed = np.zeros(K, bool)
+            fixed[K // 2:] = True
+            problem = ba.BAProblem(
+                poses=jnp.asarray(poses), points=jnp.asarray(pts),
+                pose_fixed=jnp.asarray(fixed),
+                point_valid=jnp.ones(P, bool),
+                obs=ba.BAObs(
+                    k=jnp.asarray(k_o), p=jnp.asarray(p_o),
+                    uvr=jnp.asarray(uvr),
+                    inv_sigma2=jnp.ones(O, jnp.float32),
+                    is_stereo=jnp.ones(O, bool),
+                    valid=jnp.asarray(np.arange(O) < O // 2)))
+            np.asarray(ba.local_ba_packed(cam, problem))
 
     def note_created(self, kf_id: int, pt_ids: np.ndarray):
         self._recent.append((kf_id, np.asarray(pt_ids)))
@@ -105,7 +146,13 @@ class LocalMapper:
         created: list[int] = []
         claimed = np.zeros(s.n_kp, bool)
         nbs = [int(nb) for nb in covis[:3]]  # best neighbors first
+        n_real = len(nbs)
+        # pad to a FIXED batch of 3 (self-pairs with an all-False free mask
+        # match nothing): a varying batch size is a new shape -> a fresh
+        # ~15 s remote compile mid-sequence
+        nbs = nbs + [kf_id] * (3 - n_real)
         free2s = s.kf_kp_valid[nbs] & (s.kf_pt_ids[nbs] < 0)
+        free2s[n_real:] = False
         # all neighbors in ONE batched device call; the greedy claim order
         # (a feature triangulated against the best neighbor is no longer
         # free for the next) is applied on host below, as the reference's
@@ -117,7 +164,7 @@ class LocalMapper:
             jnp.asarray(s.kf_pose[nbs]), jnp.asarray(s.kf_xy[nbs]),
             jnp.asarray(s.kf_desc[nbs]), jnp.asarray(s.kf_oct[nbs]),
             jnp.asarray(free2s), lut))
-        for bi, nb in enumerate(nbs):
+        for bi, nb in enumerate(nbs[:n_real]):
             n_good, match, X = mapping_ops.unpack_triangulate_np(bufs[bi], s.n_kp)
             sel = np.nonzero((match >= 0) & ~claimed)[0]
             if len(sel) == 0:
@@ -168,16 +215,20 @@ class LocalMapper:
         )
         pid_arr = np.concatenate([pids, np.full(pad, -1, np.int64)])
         nbs = [int(nb) for nb in covis[:2]]
+        n_real = len(nbs)
+        nbs = nbs + [kf_id] * (2 - n_real)  # fixed batch (see triangulate)
+        valid2 = s.kf_kp_valid[nbs].copy()
+        valid2[n_real:] = False
         feats_s = matching.FrameFeatures(
             xy=jnp.asarray(s.kf_xy[nbs]), ur=jnp.asarray(s.kf_ur[nbs]),
             octave=jnp.asarray(s.kf_oct[nbs]),
             angle=jnp.asarray(s.kf_angle[nbs]),
             desc=jnp.asarray(s.kf_desc[nbs]),
-            valid=jnp.asarray(s.kf_kp_valid[nbs]))
+            valid=jnp.asarray(valid2))
         bufs = np.asarray(mapping_ops.fuse_candidates_multi(
             s.cam, jnp.asarray(s.kf_pose[nbs]), view, feats_s,
             n_levels=s.cfg.n_levels, scale=s.cfg.scale))
-        for bi, nb in enumerate(nbs):
+        for bi, nb in enumerate(nbs[:n_real]):
             kp2pt = bufs[bi][cap:]
             hit = np.nonzero(kp2pt >= 0)[0]
             for kp in hit:
@@ -236,6 +287,9 @@ class LocalMapper:
         """Assemble the padded BAProblem for the covisibility window."""
         s = self.store
         local, fixed, local_pts = s.local_window(kf_id, max_kf=self.k_local)
+        while self._p_bucket < self.p_cap and len(local_pts) > self._p_bucket:
+            self._p_bucket = self.p_buckets[
+                self.p_buckets.index(self._p_bucket) + 1]
         if len(fixed) > self.k_fixed:
             # keep the fixed KFs anchoring the most window observations
             counts = (np.isin(s.kf_pt_ids[fixed], local_pts)
@@ -248,8 +302,10 @@ class LocalMapper:
             local = local[:-1]
         window = np.concatenate([local, fixed]).astype(np.int32)
         n_free = len(local)
-        if len(local_pts) > self.p_cap:
-            local_pts = local_pts[-self.p_cap:]
+        p_bkt = self._p_bucket
+        o_bkt = 3 * p_bkt
+        if len(local_pts) > p_bkt:
+            local_pts = local_pts[-p_bkt:]
         pts = local_pts.astype(np.int32)
 
         # observation table: every (window KF, feature) slot pointing into pts
@@ -263,8 +319,8 @@ class LocalMapper:
             ofe.append(sel.astype(np.int32))
         okf = np.concatenate(okf)
         ofe = np.concatenate(ofe)
-        if len(okf) > self.o_cap:
-            okf, ofe = okf[: self.o_cap], ofe[: self.o_cap]
+        if len(okf) > o_bkt:
+            okf, ofe = okf[: o_bkt], ofe[: o_bkt]
         kf_abs = window[okf]
         p_idx = pt_lut[s.kf_pt_ids[kf_abs, ofe]]
         uv = s.kf_xy[kf_abs, ofe]
@@ -274,7 +330,7 @@ class LocalMapper:
         is_st = ur >= 0
 
         O = len(okf)
-        K, P = self.k_cap, self.p_cap
+        K, P = self.k_cap, p_bkt
 
         def padk(a, fill=0):
             return np.concatenate(
@@ -282,7 +338,7 @@ class LocalMapper:
 
         def pado(a, fill=0):
             return np.concatenate(
-                [a, np.full((self.o_cap - O,) + a.shape[1:], fill, a.dtype)])
+                [a, np.full((o_bkt - O,) + a.shape[1:], fill, a.dtype)])
 
         poses = padk(s.kf_pose[window])
         poses[len(window):] = np.eye(4, dtype=np.float32)
@@ -307,7 +363,7 @@ class LocalMapper:
             point_valid=jnp.asarray(point_valid),
             obs=obs,
         )
-        meta = dict(window=window, n_free=n_free, pts=pts,
+        meta = dict(window=window, n_free=n_free, pts=pts, p_bkt=p_bkt,
                     okf=okf, ofe=ofe, kf_abs=kf_abs, p_idx=p_idx, n_obs=O)
         return problem, meta
 
@@ -371,7 +427,7 @@ class LocalMapper:
             return
         buf = np.asarray(ba.local_ba_packed(self.cam, problem))
         poses, points, keep = ba.unpack_local_ba_np(
-            buf, self.k_cap, self.p_cap)
+            buf, self.k_cap, meta["p_bkt"])
 
         window, n_free, pts = meta["window"], meta["n_free"], meta["pts"]
         s.kf_pose[window[:n_free]] = poses[:n_free]
@@ -402,7 +458,7 @@ class LocalMapper:
         buf = np.asarray(lines_ba.local_joint_ba_packed(
             self.cam, joint, gamma))
         poses, points, q2, a2, keep_p, keep_l = lines_ba.unpack_local_joint_np(
-            buf, self.k_cap, self.p_cap, self.l_cap, self.o_cap)
+            buf, self.k_cap, meta["p_bkt"], self.l_cap, 3 * meta["p_bkt"])
 
         s.kf_pose[window[:n_free]] = poses[:n_free]
         s.pt_pos[pts] = points[: len(pts)]

@@ -31,6 +31,15 @@ class System:
         self.tracker = StereoTracker(cfg, vocabulary=vocabulary,
                                      enable_loops=enable_loops)
 
+    def warmup(self) -> None:
+        """Pre-compile the rare-path loop-closure programs (Sim3 RANSAC,
+        Sim(3) pose graph, global BA) so the first real loop event doesn't
+        stall tracking on remote compilation. Optional; costs ~1-2 min once
+        at startup on a tunneled TPU. Vocabulary-independent."""
+        from .loop.closing import warmup_loop_programs
+        warmup_loop_programs(self.tracker.cam)
+        self.tracker.mapper.warmup()
+
     # -- frame input (System::TrackStereo/TrackRGBD, System.cc:121-194) --
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
                      timestamp: float = 0.0):
