@@ -312,6 +312,12 @@ class LoopCloser:
         p_idx = pt_lut[s.kf_pt_ids[kf_idx, feat_idx]]
         keep = p_idx >= 0
         kf_idx, feat_idx, p_idx = kf_idx[keep], feat_idx[keep], p_idx[keep]
+        # one observation per (KF, point): duplicates (possible after fuse
+        # merges) would double-count residuals
+        _, first = np.unique(
+            kf_idx.astype(np.int64) * s.max_pt + p_idx, return_index=True)
+        first = np.sort(first)
+        kf_idx, feat_idx, p_idx = kf_idx[first], feat_idx[first], p_idx[first]
         if len(kf_idx) > self.gba_obs_cap:
             sel = np.linspace(0, len(kf_idx) - 1, self.gba_obs_cap).astype(int)
             kf_idx, feat_idx, p_idx = kf_idx[sel], feat_idx[sel], p_idx[sel]

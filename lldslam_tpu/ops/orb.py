@@ -166,25 +166,31 @@ def _ic_angle(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     prefix slices. ~31x6 elementwise ops/pixel, all fusable — replaces a
     31x31x2 `conv_general_dilated` that XLA lowers catastrophically for
     1-channel inputs on TPU (measured 330 ms/frame at KITTI L0; this form is
-    ~2 ms). The circular mask is dx-symmetric, so shifting intensities by a
-    constant (here 128) leaves both moments mathematically unchanged while
-    shrinking the prefix magnitudes f32 must carry."""
+    ~2 ms).
+
+    All prefix arithmetic is EXACT int32: the level image is rounded to
+    integers (the reference computes IC_Angle on uint8 level images,
+    ORBextractor.cc:1107-1132) and shifted by -128, so |row prefix| stays
+    well inside int32 at KITTI widths. The earlier f32-cumsum version lost
+    bits to windowed-difference cancellation at large x (f32 ulp is 1-8 at
+    prefix magnitudes of 1e7-1e8), adding orientation noise on low-texture
+    patches."""
     h, w = img.shape
     HALF = 15
     # per-|dy| row half-widths of the circular mask (umax, ORBextractor.cc:452)
     umax = _IC_MASK[HALF:].sum(axis=1) // 2  # (16,) ints, index |dy|
-    I = img - 128.0
-    xc = (jnp.arange(w, dtype=jnp.float32) - 0.5 * w)
+    I = jnp.round(img).astype(jnp.int32) - 128
+    xc = jnp.arange(w, dtype=jnp.int32)
     # prefix sums along x with a leading zero column: P[y, x] = sum I[y, :x]
-    z = jnp.zeros((h, 1), jnp.float32)
+    z = jnp.zeros((h, 1), jnp.int32)
     P0 = jnp.concatenate([z, jnp.cumsum(I, axis=1)], axis=1)          # (h, w+1)
     P1 = jnp.concatenate([z, jnp.cumsum(I * xc[None, :], axis=1)], axis=1)
     # pad so row y+dy and cols x+-u are always in range (keypoints never
     # touch the border: EDGE_MARGIN=16 > HALF)
     P0p = jnp.pad(P0, ((HALF, HALF), (HALF, HALF)))
     P1p = jnp.pad(P1, ((HALF, HALF), (HALF, HALF)))
-    m10 = jnp.zeros((h, w), jnp.float32)
-    m01 = jnp.zeros((h, w), jnp.float32)
+    m10 = jnp.zeros((h, w), jnp.int32)
+    m01 = jnp.zeros((h, w), jnp.int32)
     for dy in range(-HALF, HALF + 1):
         u = int(umax[abs(dy)])
         r0 = HALF + dy
@@ -195,11 +201,13 @@ def _ic_angle(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
         hi1 = jax.lax.dynamic_slice(P1p, (r0, HALF + u + 1), (h, w))
         lo1 = jax.lax.dynamic_slice(P1p, (r0, HALF - u), (h, w))
         S1 = hi1 - lo1
+        # x-moment about each pixel's own column (exact int32: the windowed
+        # sums are bounded by 128 * 31 px * 15 offset per band)
         m10 = m10 + (S1 - xc[None, :] * S0)
-        m01 = m01 + float(dy) * S0
+        m01 = m01 + dy * S0
     g10 = m10[xy[:, 1], xy[:, 0]]
     g01 = m01[xy[:, 1], xy[:, 0]]
-    return jnp.arctan2(g01, g10)
+    return jnp.arctan2(g01.astype(jnp.float32), g10.astype(jnp.float32))
 
 
 def _brief_desc(blur: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:

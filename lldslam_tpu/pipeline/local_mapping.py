@@ -99,7 +99,32 @@ class LocalMapper:
                     inv_sigma2=jnp.ones(O, jnp.float32),
                     is_stereo=jnp.ones(O, bool),
                     valid=jnp.asarray(np.arange(O) < O // 2)))
-            np.asarray(ba.local_ba_packed(cam, problem))
+            if self.enable_lines:
+                # line-enabled runs use the joint program, not the
+                # points-only one: warm that executable per bucket
+                from ..optim import lines_ba
+                LC, LO = self.l_cap, self.lo_cap
+                q = np.zeros((LC, 4), np.float32)
+                q[:, 0] = 1.0
+                lobs = lines_ba.LineBAObs(
+                    k=jnp.zeros(LO, jnp.int32),
+                    l=jnp.asarray(rng.integers(0, LC, LO).astype(np.int32)),
+                    x1l=jnp.asarray(rng.uniform(50, 300, (LO, 2)).astype(np.float32)),
+                    x2l=jnp.asarray(rng.uniform(50, 300, (LO, 2)).astype(np.float32)),
+                    x1r=jnp.asarray(rng.uniform(50, 300, (LO, 2)).astype(np.float32)),
+                    x2r=jnp.asarray(rng.uniform(50, 300, (LO, 2)).astype(np.float32)),
+                    octave=jnp.zeros(LO, jnp.int32),
+                    has_r=jnp.ones(LO, bool),
+                    valid=jnp.asarray(np.arange(LO) < 8),
+                )
+                joint = lines_ba.JointProblem(
+                    base=problem, q=jnp.asarray(q),
+                    alpha=jnp.ones(LC, jnp.float32),
+                    line_valid=jnp.asarray(np.arange(LC) < 8), lobs=lobs)
+                np.asarray(lines_ba.local_joint_ba_packed(
+                    cam, joint, float(self.cfg.line.gamma)))
+            else:
+                np.asarray(ba.local_ba_packed(cam, problem))
 
     def note_created(self, kf_id: int, pt_ids: np.ndarray):
         self._recent.append((kf_id, np.asarray(pt_ids)))
@@ -156,7 +181,11 @@ class LocalMapper:
         # all neighbors in ONE batched device call; the greedy claim order
         # (a feature triangulated against the best neighbor is no longer
         # free for the next) is applied on host below, as the reference's
-        # sequential neighbor loop does (LocalMapping.cc:243+)
+        # sequential neighbor loop does (LocalMapping.cc:243+).
+        # Divergence (speed tradeoff): a left feature claimed by a better
+        # neighbor is dropped for later neighbors rather than letting them
+        # fall back to their second-best left feature, so dense-overlap
+        # scenes triangulate slightly fewer points than the sequential loop.
         bufs = np.asarray(mapping_ops.triangulate_pairs(
             s.cam, jnp.asarray(s.kf_pose[kf_id]),
             jnp.asarray(s.kf_xy[kf_id]), jnp.asarray(s.kf_desc[kf_id]),
@@ -173,6 +202,7 @@ class LocalMapper:
                 break
             ids = s.create_points(kf_id, sel, X[sel])
             s.kf_pt_ids[nb, match[sel]] = ids  # second observation
+            s.mark_obs_dirty()
             claimed[sel] = True
             created.extend(ids.tolist())
         if created:
@@ -228,18 +258,28 @@ class LocalMapper:
         bufs = np.asarray(mapping_ops.fuse_candidates_multi(
             s.cam, jnp.asarray(s.kf_pose[nbs]), view, feats_s,
             n_levels=s.cfg.n_levels, scale=s.cfg.scale))
+        merged = False
         for bi, nb in enumerate(nbs[:n_real]):
             kp2pt = bufs[bi][cap:]
             hit = np.nonzero(kp2pt >= 0)[0]
+            row = s.kf_pt_ids[nb]
+            # MapPoint::IsInKeyFrame guard (MapPoint.cc:396): never give one
+            # KF two features on the same point — duplicate (k, p) obs rows
+            # make the dense BA scatter nondeterministic
+            present = set(int(x) for x in row[row >= 0])
             for kp in hit:
                 p = int(pid_arr[kp2pt[kp]])
                 if p < 0 or not s.pt_valid[p]:
                     continue
-                q = int(s.kf_pt_ids[nb, kp])
+                q = int(row[kp])
                 if q == p:
                     continue
                 if q < 0:
-                    s.kf_pt_ids[nb, kp] = p  # new observation
+                    if p in present:
+                        continue
+                    row[kp] = p  # new observation
+                    present.add(p)
+                    s.mark_obs_dirty()
                 elif s.pt_valid[q]:
                     # merge: most-observed point survives (MapPoint::Replace)
                     keep, drop = (p, q) if s.pt_nobs[p] >= s.pt_nobs[q] else (q, p)
@@ -247,6 +287,26 @@ class LocalMapper:
                     m = s.kf_pt_ids[:K] == drop
                     s.kf_pt_ids[:K][m] = keep
                     s.pt_valid[drop] = False
+                    merged = True
+                    s.mark_obs_dirty()
+        if merged:
+            # a merge can leave some KF observing `keep` on two features;
+            # keep the first slot per (KF, point) row-wise
+            K = s.n_kf
+            ids = s.kf_pt_ids[:K]
+            srt = np.sort(np.where(ids >= 0, ids, np.iinfo(np.int32).max), axis=1)
+            has_dup = (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] >= 0) \
+                & (srt[:, 1:] != np.iinfo(np.int32).max)
+            for k in np.nonzero(has_dup.any(axis=1))[0]:
+                row = ids[k]
+                seen: set[int] = set()
+                for i in np.nonzero(row >= 0)[0]:
+                    v = int(row[i])
+                    if v in seen:
+                        row[i] = -1
+                    else:
+                        seen.add(v)
+            s.mark_obs_dirty()
         s.refresh_obs_counts()
 
     def cull_keyframes(self, kf_id: int):
@@ -279,6 +339,7 @@ class LocalMapper:
                 s.kf_pt_ids[k] = -1
                 s.kf_ln_ids[k] = -1  # divergence from D7: detach line obs too
                 s.kf_valid[k] = False
+                s.mark_obs_dirty()
         s.refresh_obs_counts()
 
     # ------------------------------------------------------------------
@@ -287,9 +348,6 @@ class LocalMapper:
         """Assemble the padded BAProblem for the covisibility window."""
         s = self.store
         local, fixed, local_pts = s.local_window(kf_id, max_kf=self.k_local)
-        while self._p_bucket < self.p_cap and len(local_pts) > self._p_bucket:
-            self._p_bucket = self.p_buckets[
-                self.p_buckets.index(self._p_bucket) + 1]
         if len(fixed) > self.k_fixed:
             # keep the fixed KFs anchoring the most window observations
             counts = (np.isin(s.kf_pt_ids[fixed], local_pts)
@@ -302,23 +360,49 @@ class LocalMapper:
             local = local[:-1]
         window = np.concatenate([local, fixed]).astype(np.int32)
         n_free = len(local)
-        p_bkt = self._p_bucket
-        o_bkt = 3 * p_bkt
-        if len(local_pts) > p_bkt:
-            local_pts = local_pts[-p_bkt:]
+        obs_ratio = max(self.o_cap // self.p_cap, 1)
+        if len(local_pts) > self.p_buckets[-1]:
+            local_pts = local_pts[-self.p_buckets[-1]:]
         pts = local_pts.astype(np.int32)
 
-        # observation table: every (window KF, feature) slot pointing into pts
+        # observation table: every (window KF, feature) slot pointing into
+        # pts. Fixed anchors FIRST: if the table ever exceeds the bucket, the
+        # tail truncation drops free-window observations, never the anchors
+        # tying the window to the global map.
         pt_lut = np.full(s.max_pt, -1, np.int32)
         pt_lut[pts] = np.arange(len(pts), dtype=np.int32)
         okf, ofe = [], []
-        for wi, k in enumerate(window):
-            sel = np.nonzero(pt_lut[s.kf_pt_ids[k].clip(0)] >= 0)[0]
-            sel = sel[s.kf_pt_ids[k, sel] >= 0]
+        order = list(range(n_free, len(window))) + list(range(n_free))
+        for wi in order:
+            k = window[wi]
+            ids_k = s.kf_pt_ids[k]
+            sel = np.nonzero(pt_lut[ids_k.clip(0)] >= 0)[0]
+            sel = sel[ids_k[sel] >= 0]
+            # dedup: one observation per (KF, point) — fuse merges can leave
+            # a KF with two features on the same point, and duplicate (k, p)
+            # rows make the dense scatter in ba._densify_obs nondeterministic
+            _, first = np.unique(pt_lut[ids_k[sel]], return_index=True)
+            sel = sel[np.sort(first)]
             okf.append(np.full(len(sel), wi, np.int32))
             ofe.append(sel.astype(np.int32))
         okf = np.concatenate(okf)
         ofe = np.concatenate(ofe)
+        # grow the bucket until both the point count and the observation
+        # count fit (the obs cap scales with the bucket at the configured
+        # o_cap/p_cap ratio; the constructor caps stay authoritative)
+        while self._p_bucket < self.p_buckets[-1] and (
+                len(pts) > self._p_bucket
+                or len(okf) > obs_ratio * self._p_bucket):
+            self._p_bucket = self.p_buckets[
+                self.p_buckets.index(self._p_bucket) + 1]
+        p_bkt = self._p_bucket
+        o_bkt = obs_ratio * p_bkt
+        if len(pts) > p_bkt:
+            pts = pts[-p_bkt:]
+            pt_lut[:] = -1
+            pt_lut[pts] = np.arange(len(pts), dtype=np.int32)
+            keep = pt_lut[s.kf_pt_ids[window[okf], ofe]] >= 0
+            okf, ofe = okf[keep], ofe[keep]
         if len(okf) > o_bkt:
             okf, ofe = okf[: o_bkt], ofe[: o_bkt]
         kf_abs = window[okf]
@@ -384,6 +468,12 @@ class LocalMapper:
         mask = (s.kf_ln_ids[window] >= 0) \
             & (ln_lut[s.kf_ln_ids[window].clip(0)] >= 0)
         wk, wd = np.nonzero(mask)
+        # dedup (KF, line) pairs — duplicate rows break the dense scatter
+        # in lines_ba the same way duplicate point obs break ba
+        _, first = np.unique(
+            wk.astype(np.int64) * s.max_ln + s.kf_ln_ids[window[wk], wd],
+            return_index=True)
+        wk, wd = wk[np.sort(first)], wd[np.sort(first)]
         kf_abs = window[wk]
         l_idx = ln_lut[s.kf_ln_ids[kf_abs, wd]]
         O = min(len(wk), self.lo_cap)
@@ -437,6 +527,7 @@ class LocalMapper:
         bad = ~keep[:O]
         if bad.any():
             s.kf_pt_ids[meta["kf_abs"][bad], meta["ofe"][bad]] = -1
+            s.mark_obs_dirty()
             # points that lost every observation die
             dead_cand = np.unique(pts[np.unique(meta["p_idx"][:O][bad])])
             if len(dead_cand):
@@ -475,6 +566,7 @@ class LocalMapper:
         bad = ~keep_p[:O]
         if bad.any():
             s.kf_pt_ids[meta["kf_abs"][bad], meta["ofe"][bad]] = -1
+            s.mark_obs_dirty()
             dead_cand = np.unique(pts[np.unique(meta["p_idx"][:O][bad])])
             if len(dead_cand):
                 s.refresh_obs_counts()

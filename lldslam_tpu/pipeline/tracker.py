@@ -399,6 +399,7 @@ class StereoTracker:
         sel = np.nonzero(good)[0]
         ids = s.create_points(kf0, sel, X[sel].astype(np.float32))
         s.kf_pt_ids[kf1, idx[sel]] = ids
+        s.mark_obs_dirty()
         s.refresh_obs_counts()
         self.T_cw = T1
         self.velocity = np.eye(4, dtype=np.float32)

@@ -104,6 +104,17 @@ class MapStore:
         self.kf_ln_valid = np.zeros((max_kf, ld), bool)
         self.kf_ln_ids = np.full((max_kf, ld), -1, np.int32)  # line obs table
 
+        # lazily-rebuilt CSR observation index (point -> observing KF rows):
+        # one vectorized pass over the obs table per rebuild, making
+        # covisible_kfs/observations_of O(deg) gathers instead of O(K*N)
+        # np.isin scans (the reference keeps the same structure as
+        # MapPoint::mObservations maps, KeyFrame.cc:312-402 walks them)
+        self._obs_dirty = True
+        self._obs_pt: np.ndarray | None = None   # sorted point id per obs row
+        self._obs_kf: np.ndarray | None = None   # observing KF per obs row
+        self._obs_fe: np.ndarray | None = None   # feature slot per obs row
+        self._obs_start: np.ndarray | None = None  # (max_pt + 1,) CSR offsets
+
     # ------------------------------------------------------------------
     # insertion
     # ------------------------------------------------------------------
@@ -126,6 +137,7 @@ class MapStore:
         self.kf_kp_valid[k] = feats_np["valid"]
         self.kf_pt_ids[k] = pt_ids
         self.n_kf += 1
+        self._obs_dirty = True
         return k
 
     def add_keyframe_lines(self, kf_id: int, lines_np: dict, ln_ids: np.ndarray):
@@ -283,6 +295,7 @@ class MapStore:
         self.pt_found[ids] = 1
         self.kf_pt_ids[kf_id, feat_idx] = ids
         self.n_pt += m
+        self._obs_dirty = True
         self._update_point_geometry(ids)
         return ids
 
@@ -290,13 +303,40 @@ class MapStore:
     # observation-derived updates
     # ------------------------------------------------------------------
 
+    def mark_obs_dirty(self):
+        """Callers that write `kf_pt_ids` directly must invalidate the index."""
+        self._obs_dirty = True
+
+    def _rebuild_obs_index(self):
+        K = self.n_kf
+        ids = self.kf_pt_ids[:K]
+        kfi, fei = np.nonzero(ids >= 0)
+        p = ids[kfi, fei]
+        order = np.argsort(p, kind="stable")
+        self._obs_pt = p[order]
+        self._obs_kf = kfi[order].astype(np.int32)
+        self._obs_fe = fei[order].astype(np.int32)
+        self._obs_start = np.searchsorted(
+            self._obs_pt, np.arange(self.max_pt + 1)).astype(np.int64)
+        self._obs_dirty = False
+
+    def _obs_rows_for(self, pt_ids: np.ndarray) -> np.ndarray:
+        """CSR row indices of all observations of the given point ids."""
+        if self._obs_dirty:
+            self._rebuild_obs_index()
+        starts = self._obs_start[pt_ids]
+        cnt = self._obs_start[pt_ids + 1] - starts
+        total = int(cnt.sum())
+        if total == 0:
+            return np.zeros(0, np.int64)
+        offs = np.cumsum(cnt) - cnt
+        return np.repeat(starts - offs, cnt) + np.arange(total)
+
     def observations_of(self, pt_ids: np.ndarray):
         """(kf_idx, feat_idx) arrays of all observations of the given points
         among valid keyframes. Also returns the matching pt id per row."""
-        K = self.n_kf
-        mask = np.isin(self.kf_pt_ids[:K], pt_ids) & (self.kf_pt_ids[:K] >= 0)
-        kf_idx, feat_idx = np.nonzero(mask)
-        return kf_idx, feat_idx, self.kf_pt_ids[kf_idx, feat_idx]
+        rows = self._obs_rows_for(np.asarray(pt_ids))
+        return self._obs_kf[rows], self._obs_fe[rows], self._obs_pt[rows]
 
     def n_obs(self, pt_ids: np.ndarray) -> np.ndarray:
         """Observation count per point; stereo observations count +2, mono +1
@@ -384,8 +424,8 @@ class MapStore:
         mine_set = np.unique(mine[mine >= 0])
         if len(mine_set) == 0:
             return np.zeros(0, np.int32), np.zeros(0, np.int32)
-        ids = self.kf_pt_ids[:K]
-        shared = (np.isin(ids, mine_set) & (ids >= 0)).sum(axis=1).astype(np.int32)
+        rows = self._obs_rows_for(mine_set)
+        shared = np.bincount(self._obs_kf[rows], minlength=K)[:K].astype(np.int32)
         shared[kf_id] = 0
         shared[~self.kf_valid[:K]] = 0
         order = np.argsort(-shared)
@@ -418,10 +458,9 @@ class MapStore:
         if len(pt_ids) == 0:
             return
         self.pt_valid[pt_ids] = False
-        K = self.n_kf
-        ids = self.kf_pt_ids[:K]
-        mask = np.isin(ids, pt_ids) & (ids >= 0)
-        ids[mask] = -1
+        rows = self._obs_rows_for(pt_ids)
+        self.kf_pt_ids[self._obs_kf[rows], self._obs_fe[rows]] = -1
+        self._obs_dirty = True
 
     def remove_point(self, p: int):
         self.remove_points(np.array([p]))
