@@ -79,7 +79,7 @@ def main():
                            bf=386.1448, fps=10.0, width=1241, height=376)
     cfg = SlamConfig(camera=cam_cfg, orb=OrbConfig(n_features=2000),
                      tracking=TrackingConfig(min_init_points=100))
-    sys = System(cfg)
+    sys = System(cfg, pipeline=True)
 
     n_warm, n_meas = 4, 30
     _log("bench: generating sequence...")
@@ -95,6 +95,7 @@ def main():
     t0 = time.perf_counter()
     for i in range(n_warm, n_warm + n_meas):
         sys.track_stereo(*frames[i], timestamp=i * 0.1)
+    sys.flush()
     dt = time.perf_counter() - t0
     _log(f"bench: {n_meas} frames in {dt:.2f}s")
     ms = sys.tracker.metrics[n_warm:]
@@ -112,6 +113,22 @@ def main():
             1e3 * np.mean([x["mapper"] for x in kt]),
             1e3 * np.mean([x["loop"] for x in kt]),
             1e3 * np.mean([x["view"] for x in kt])))
+        ms_ = sys.tracker.mapper.stage_times
+        if ms_.get("n"):
+            _log("bench: mapper stages avg " + " ".join(
+                f"{k}={1e3*v/ms_['n']:.0f}ms" for k, v in ms_.items()
+                if k != "n"))
+        if sys.tracker.loop_closer is not None:
+            lc = sys.tracker.loop_closer
+            ls = lc.stage_times
+            if ls.get("n"):
+                _log("bench: loop stages avg " + " ".join(
+                    f"{k}={1e3*v/ls['n']:.0f}ms" for k, v in ls.items()
+                    if k != "n"))
+            if lc.events:
+                _log("bench: LOOP EVENTS (should be none on this corridor): "
+                     + ", ".join(f"{e.query_kf}<->{e.matched_kf}"
+                                 f"({e.n_inliers})" for e in lc.events))
     fps = n_meas / dt
     print(json.dumps({
         "metric": "kitti_stereo_tracking_throughput",

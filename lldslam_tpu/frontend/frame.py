@@ -116,7 +116,7 @@ def build_frame(
     # refinement; extraction vmapped over the pair (the reference forks two
     # threads here, Frame.cc:101-104 — batching is the TPU equivalent)
     pyr = image.build_pyramid(stack, cfg.n_levels, cfg.scale)
-    kp_both = jax.vmap(partial(orb.extract_pyr, cfg=cfg))(tuple(pyr))
+    kp_both = orb.extract_stack_pyr(tuple(pyr), cfg)
     kp_l = jax.tree.map(lambda a: a[0], kp_both)
     kp_r = jax.tree.map(lambda a: a[1], kp_both)
     pyr_l = [p[0] for p in pyr]

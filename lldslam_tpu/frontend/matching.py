@@ -58,7 +58,7 @@ def predict_octave(dist, max_dist, n_levels: int, log_scale: float):
     return jnp.clip(lvl, 0, n_levels - 1)
 
 
-@partial(jax.jit, static_argnames=("cam", "n_levels", "scale", "th", "check_rot"))
+@partial(jax.jit, static_argnames=("cam", "n_levels", "scale", "check_rot"))
 def search_by_projection(
     cam: StereoCamera,
     T_cw: jnp.ndarray,
@@ -66,7 +66,8 @@ def search_by_projection(
     frame: FrameFeatures,
     n_levels: int = 8,
     scale: float = 1.2,
-    th: float = 1.0,
+    th: float = 1.0,   # traced (not static): every window size shares ONE
+                       # compiled program — reloc/loop variants pass 0.75-2.5
     nn_ratio: float = 0.8,
     check_rot: bool = False,
     ref_angle: jnp.ndarray | None = None,

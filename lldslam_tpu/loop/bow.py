@@ -153,6 +153,147 @@ class Vocabulary:
     # ------------------------------------------------------------------
 
     @staticmethod
+    def train_device(descs: np.ndarray, k: int = 10, L: int = 5,
+                     seed: int = 0, iters: int = 8,
+                     doc_ids: np.ndarray | None = None) -> "Vocabulary":
+        """Hierarchical binary k-medians at ORBvoc scale (k=10, L=5 ->
+        ~10^5 leaves), batched on device: every node of a level is split
+        simultaneously — one (N, k) Hamming-assignment pass plus one
+        (groups, 256) bit-majority scatter per Lloyd iteration, instead of
+        the reference's per-node recursive CPU k-means
+        (TemplatedVocabulary.h:434-550).
+
+        descs: (N, 8) uint32 packed (>= ~1M for a discriminative vocab).
+        doc_ids: (N,) int32 document id per descriptor for idf weighting
+        (defaults to 500-descriptor chunks)."""
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(seed)
+        descs = np.unique(descs, axis=0) if doc_ids is None else descs
+        N = len(descs)
+        d_dev = jnp.asarray(descs)
+        bits_dev = jnp.asarray(
+            np.unpackbits(descs.view(np.uint8), axis=-1))  # (N, 256) u8
+
+        @jax.jit
+        def assign(centers_g, group):
+            """centers_g (G, k, 8) u32, group (N,) -> child argmin (N,)."""
+            c = centers_g[group]                        # (N, k, 8)
+            dist = jax.lax.population_count(
+                c ^ d_dev[:, None, :]).sum(-1).astype(jnp.int32)
+            return jnp.argmin(dist, axis=-1).astype(jnp.int32)
+
+        @partial(jax.jit, static_argnames=("n_groups_k",))
+        def majority(group_child, n_groups_k):
+            """bit-majority center per (group*k + child) id."""
+            sums = jnp.zeros((n_groups_k, 256), jnp.float32
+                             ).at[group_child].add(bits_dev.astype(jnp.float32))
+            cnt = jnp.zeros((n_groups_k,), jnp.float32
+                            ).at[group_child].add(1.0)
+            return (2.0 * sums >= cnt[:, None]), cnt
+
+        def pack_np(maj):
+            return np.packbits(np.asarray(maj).astype(np.uint8),
+                               axis=-1).view(np.uint32).reshape(-1, 8)
+
+        group = np.zeros(N, np.int32)   # node membership at current level
+        n_groups = 1
+        # tree arrays, level by level
+        node_desc = [np.zeros(8, np.uint32)]
+        children: list[list[int]] = [[]]
+        level_nodes = [np.array([0], np.int64)]  # node ids of current level
+        for lvl in range(L):
+            # init: k random members per group (host, via group-sorted CSR)
+            order = np.argsort(group, kind="stable")
+            gsorted = group[order]
+            starts = np.searchsorted(gsorted, np.arange(n_groups + 1))
+            counts = starts[1:] - starts[:-1]
+            centers = np.zeros((n_groups, k, 8), np.uint32)
+            for g in range(n_groups):
+                c = counts[g]
+                if c == 0:
+                    continue
+                pick = order[starts[g] + rng.choice(c, size=min(k, c),
+                                                    replace=False)]
+                centers[g, : len(pick)] = descs[pick]
+                if c < k:  # duplicate to fill (empty children pruned below)
+                    centers[g, len(pick):] = descs[pick[0]]
+            cg = jnp.asarray(centers)
+            child = assign(cg, jnp.asarray(group))
+            for _ in range(iters):
+                gc = jnp.asarray(group) * k + child
+                maj, cnt = majority(gc, n_groups * k)
+                cnt_np = np.asarray(cnt)
+                new_centers = pack_np(maj).reshape(n_groups, k, 8)
+                keep = cnt_np.reshape(n_groups, k) > 0
+                new_centers[~keep] = centers[~keep]  # keep old for empties
+                centers = new_centers
+                cg = jnp.asarray(centers)
+                new_child = assign(cg, jnp.asarray(group))
+                if (np.asarray(new_child) == np.asarray(child)).all():
+                    child = new_child
+                    break
+                child = new_child
+            child_np = np.asarray(child)
+            # materialize this level's nodes (prune empty children)
+            gc_np = group * k + child_np
+            occupied = np.unique(gc_np)
+            remap = np.full(n_groups * k, -1, np.int64)
+            base = len(node_desc)
+            remap[occupied] = base + np.arange(len(occupied))
+            new_level = []
+            for j, gc_id in enumerate(occupied):
+                g, c = divmod(int(gc_id), k)
+                nid = base + j
+                node_desc.append(centers[g, c])
+                children.append([])
+                children[int(level_nodes[-1][g])].append(nid)
+                new_level.append(nid)
+            group = remap[gc_np].astype(np.int32) - base
+            n_groups = len(occupied)
+            level_nodes.append(np.arange(base, base + n_groups, dtype=np.int64))
+
+        n_nodes = len(node_desc)
+        ch = np.full((n_nodes, k), -1, np.int32)
+        for i, c in enumerate(children):
+            ch[i, : len(c)] = c[:k]
+        node_word = np.full(n_nodes, -1, np.int32)
+        leaves = level_nodes[-1]
+        node_word[leaves] = np.arange(len(leaves), dtype=np.int32)
+        voc = Vocabulary(
+            node_children=ch, node_desc=np.stack(node_desc),
+            node_word=node_word,
+            word_weight=np.ones(len(leaves), np.float32), k=k, L=L)
+        # idf weights (TemplatedVocabulary setNodeWeights, TF_IDF): weight =
+        # log(n_docs / n_docs_containing_word)
+        words = voc.transform_words(descs)
+        if doc_ids is None:
+            doc_ids = np.arange(N) // 500
+        n_docs = int(doc_ids.max()) + 1
+        pair = np.unique(doc_ids.astype(np.int64) * voc.n_words + words)
+        n_i = np.bincount((pair % voc.n_words).astype(np.int64),
+                          minlength=voc.n_words)
+        voc.word_weight = np.log(
+            n_docs / np.maximum(n_i, 1e-9)).astype(np.float32)
+        voc.word_weight[n_i == 0] = 0.0
+        return voc
+
+    def save_npz(self, path: str | Path) -> None:
+        np.savez_compressed(
+            path, node_children=self.node_children, node_desc=self.node_desc,
+            node_word=self.node_word, word_weight=self.word_weight,
+            k=self.k, L=self.L)
+
+    @staticmethod
+    def load_npz(path: str | Path) -> "Vocabulary":
+        z = np.load(path)
+        return Vocabulary(z["node_children"], z["node_desc"], z["node_word"],
+                          z["word_weight"], int(z["k"]), int(z["L"]))
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
     def load_text(path: str | Path) -> "Vocabulary":
         """ORBvoc.txt loader (TemplatedVocabulary.h:1338-1380 format)."""
         with open(path) as f:
@@ -190,8 +331,15 @@ class Vocabulary:
     # ------------------------------------------------------------------
 
     def device_arrays(self):
-        return (jnp.asarray(self.node_children), jnp.asarray(self.node_desc),
-                jnp.asarray(self.node_word))
+        """Device copies of the tree arrays, cached: re-uploading ~8 MB of
+        vocabulary per keyframe dominated the per-KF loop-path profile."""
+        cache = getattr(self, "_dev_cache", None)
+        if cache is None:
+            cache = (jnp.asarray(self.node_children),
+                     jnp.asarray(self.node_desc),
+                     jnp.asarray(self.node_word))
+            object.__setattr__(self, "_dev_cache", cache)
+        return cache
 
     def transform_words(self, descs: np.ndarray, valid: np.ndarray | None = None
                         ) -> np.ndarray:

@@ -6,13 +6,21 @@ deterministic per-keyframe step invoked by the tracker:
 1. DetectLoop (LoopClosing.cc:105-231): BoW minScore over covisible KFs,
    database candidates, 3-consecutive covisibility-consistency groups.
 2. ComputeSim3 (LoopClosing.cc:233-402): descriptor match between the two
-   KFs' point-carrying features, batched Horn Sim3 RANSAC (>= 20 inliers
-   accept gate; the reference then demands >= 40 after guided matching).
+   KFs' point-carrying features, batched Horn Sim3 RANSAC + GN refinement
+   (>= 20 inlier gate, LoopClosing.cc:328-331), then GUIDED matching — the
+   loop side's local map points projected into the current KF with the
+   corrected pose (SearchByProjection loop variant, ORBmatcher.cc:290;
+   SearchBySim3 intent, ORBmatcher.cc:1102) — accepting only when the total
+   matched features reach >= 40 (LoopClosing.cc:377-387).
 3. CorrectLoop (LoopClosing.cc:404-587): essential-graph optimization over
-   all keyframes (sequential spanning chain + strong-covisibility edges +
-   the loop edge), point remap through each point's anchor keyframe, then
-   global bundle adjustment (RunGlobalBundleAdjustment, LoopClosing.cc:
-   647-751) on the matrix-free CG path.
+   all keyframes (SPANNING-TREE edges + every persisted past loop edge +
+   strong-covisibility edges + the new loop edge, Optimizer.cc:1391-1654),
+   point AND line remap through their anchor keyframes, loop-point fusion:
+   the guided matches replace/extend the current side's landmarks and
+   SearchAndFuse projects the loop points into every corrected-group KF,
+   merging duplicates (LoopClosing.cc:520-544, 589-620). Then global bundle
+   adjustment (RunGlobalBundleAdjustment, LoopClosing.cc:647-751) on the
+   matrix-free CG path.
 
 Scale is fixed (stereo, LoopClosing.cc:276): Sim3 with s=1 everywhere, but
 the pose-graph state stays Sim(3) to mirror the reference's machinery (and
@@ -58,6 +66,12 @@ class LoopCloser:
             1.0 / store.cfg.scale ** 2, np.arange(store.cfg.n_levels)
         ).astype(np.float32)
         self._key = jax.random.PRNGKey(0)
+        self.stage_times: dict[str, float] = {}
+        # jitted KF<->KF matcher: calling hamming.match_descriptors eagerly
+        # dispatched ~20 single ops through the tunnel per candidate (~1 s)
+        from functools import partial as _partial
+        self._kf_match = jax.jit(_partial(
+            hamming.match_descriptors, max_dist=hamming.TH_LOW, ratio=0.75))
 
     # ------------------------------------------------------------------
 
@@ -74,8 +88,13 @@ class LoopCloser:
     def process_keyframe(self, kf_id: int) -> bool:
         """Run the loop pipeline for a new keyframe. Returns True when a loop
         was detected and the map corrected."""
+        import time as _time
+        t = _time.perf_counter
+        t0 = t()
         ids, vals = self._kf_bow(kf_id)
+        t1 = t()
         candidate = self._detect(kf_id, ids, vals)
+        t2 = t()
         corrected = False
         if candidate is not None:
             res = self._compute_sim3(kf_id, candidate)
@@ -86,7 +105,13 @@ class LoopCloser:
                 self.last_loop_kf = kf_id
                 self.consistent_groups = []
                 corrected = True
+        t3 = t()
         self.db.add(kf_id, ids, vals)
+        st = self.stage_times
+        for k, v in (("bow", t1 - t0), ("detect", t2 - t1),
+                     ("sim3+correct", t3 - t2)):
+            st[k] = st.get(k, 0.0) + v
+        st["n"] = st.get("n", 0) + 1
         return corrected
 
     # ------------------------------------------------------------------
@@ -139,10 +164,9 @@ class LoopCloser:
         cam = s.cam
         has_c = s.kf_kp_valid[kf_c] & (s.kf_pt_ids[kf_c] >= 0)
         has_m = s.kf_kp_valid[kf_m] & (s.kf_pt_ids[kf_m] >= 0)
-        idx, ok, _ = hamming.match_descriptors(
+        idx, ok, _ = self._kf_match(
             jnp.asarray(s.kf_desc[kf_c]), jnp.asarray(has_c),
-            jnp.asarray(s.kf_desc[kf_m]), jnp.asarray(has_m),
-            max_dist=hamming.TH_LOW, ratio=0.75)
+            jnp.asarray(s.kf_desc[kf_m]), jnp.asarray(has_m))
         idx, ok = np.asarray(idx), np.asarray(ok)
         sel_c = np.nonzero(ok)[0]
         if len(sel_c) < 20:
@@ -185,9 +209,77 @@ class LoopCloser:
             jnp.asarray(1.0 / pad(s2_1, 1.0)), jnp.asarray(1.0 / pad(s2_2, 1.0)),
             inl & vmask)
         n_ref = int(n_ref)
-        if n_ref < 20:
+        if n_ref < 20:  # OptimizeSim3 gate (LoopClosing.cc:328-331)
             return None
-        return (np.asarray(R), np.asarray(t), float(sc)), n_ref
+        R, t, sc = np.asarray(R), np.asarray(t), float(sc)
+
+        # --- guided matching with the corrected pose (LoopClosing.cc:
+        # 336-387): project the loop side's local map points into the
+        # current KF and demand >= 40 total matched features ---
+        Tm = s.kf_pose[kf_m]
+        T_corr = np.eye(4, dtype=np.float32)
+        T_corr[:3, :3] = R @ Tm[:3, :3]
+        T_corr[:3, 3] = sc * (R @ Tm[:3, 3]) + t
+        loop_pids = self._loop_points(kf_m)
+        kp2lp = self._project_match(kf_c, loop_pids, T_corr, th=2.5)
+        matched_feats = set(np.nonzero(kp2lp >= 0)[0].tolist())
+        # plus the features matched through the Sim3 inlier set
+        matched_feats |= set(int(x) for x in sel_c[:n][np.asarray(inl2)[:n]])
+        if len(matched_feats) < 40:  # LoopClosing.cc:387
+            return None
+        self._loop_guided = (kp2lp, loop_pids)
+        return (R, t, sc), n_ref
+
+    # ------------------------------------------------------------------
+
+    def _loop_points(self, kf_m: int, top: int = 10) -> np.ndarray:
+        """Loop-side local map points: kf_m + its covisible KFs' points
+        (mvpLoopMapPoints, LoopClosing.cc:440-452)."""
+        s = self.store
+        covis, _ = s.covisible_kfs(kf_m, min_shared=15, top=top)
+        kfs = np.concatenate([[kf_m], covis]).astype(np.int32)
+        pids = np.unique(s.kf_pt_ids[kfs])
+        pids = pids[pids >= 0]
+        return pids[s.pt_valid[pids]]
+
+    def _project_match(self, kf_c: int, pids: np.ndarray, T_cw: np.ndarray,
+                       th: float = 2.5, cap: int = 8192) -> np.ndarray:
+        """Project the given map points into keyframe kf_c's feature snapshot
+        and match (the loop-Sim3 SearchByProjection, ORBmatcher.cc:290).
+        Returns kp2pid (N,) global point ids per feature (-1 none)."""
+        from ..frontend import matching
+
+        s = self.store
+        pids = pids[-cap:]
+        P = len(pids)
+        pad = cap - P
+        view = matching.MapPointView(
+            pos=jnp.asarray(np.concatenate(
+                [s.pt_pos[pids], np.zeros((pad, 3), np.float32)])),
+            desc=jnp.asarray(np.concatenate(
+                [s.pt_desc[pids], np.zeros((pad, 8), np.uint32)])),
+            normal=jnp.asarray(np.concatenate(
+                [s.pt_normal[pids], np.zeros((pad, 3), np.float32)])),
+            min_dist=jnp.asarray(np.concatenate(
+                [s.pt_min_dist[pids], np.zeros(pad, np.float32)])),
+            max_dist=jnp.asarray(np.concatenate(
+                [s.pt_max_dist[pids], np.zeros(pad, np.float32)])),
+            valid=jnp.asarray(np.concatenate(
+                [np.ones(P, bool), np.zeros(pad, bool)])),
+        )
+        feats = matching.FrameFeatures(
+            xy=jnp.asarray(s.kf_xy[kf_c]), ur=jnp.asarray(s.kf_ur[kf_c]),
+            octave=jnp.asarray(s.kf_oct[kf_c]),
+            angle=jnp.asarray(s.kf_angle[kf_c]),
+            desc=jnp.asarray(s.kf_desc[kf_c]),
+            valid=jnp.asarray(s.kf_kp_valid[kf_c]))
+        _, kp2pt, _, _ = matching.search_by_projection(
+            s.cam, jnp.asarray(T_cw.astype(np.float32)), view, feats,
+            n_levels=s.cfg.n_levels, scale=s.cfg.scale, th=th)
+        kp2pt = np.asarray(kp2pt)
+        pid_arr = np.concatenate([pids, np.full(pad, -1, pids.dtype)])
+        return np.where(kp2pt >= 0, pid_arr[np.maximum(kp2pt, 0)],
+                        -1).astype(np.int32)
 
     # ------------------------------------------------------------------
 
@@ -219,17 +311,31 @@ class LoopCloser:
             e_i.append(i); e_j.append(j)
             mR.append(M[:3, :3].copy()); mt.append(M[:3, 3].copy()); ms.append(1.0)
 
+        # spanning-tree backbone (Optimizer.cc:1497-1522; tree maintained by
+        # MapStore.set_parent_from_covisibility / reparent_children)
+        tree_pairs = set()
         for k in range(1, K):
-            add_edge(k, k - 1, poses_old[k], poses_old[k - 1])
+            p = int(s.kf_parent[k]) if s.kf_parent[k] >= 0 else k - 1
+            add_edge(k, p, poses_old[k], poses_old[p])
+            tree_pairs.add((min(k, p), max(k, p)))
+        # every PAST loop edge persists in the essential graph
+        # (KeyFrame::GetLoopEdges, Optimizer.cc:1524-1540)
+        for i, j in s.loop_edges:
+            if (min(i, j), max(i, j)) not in tree_pairs:
+                add_edge(i, j, poses_old[i], poses_old[j])
+                tree_pairs.add((min(i, j), max(i, j)))
         # strong covisibility (weight >= 100, Optimizer.cc:1546)
         for k in range(K):
             covis, counts = s.covisible_kfs(k, min_shared=100)
             for c, w in zip(covis, counts):
-                if c < k - 1:  # avoid duplicating chain edges / symmetry
-                    add_edge(k, int(c), poses_old[k], poses_old[int(c)])
-        # loop edge c <- m with measurement S_cm
+                c = int(c)
+                if c < k and (c, k) not in tree_pairs:
+                    add_edge(k, c, poses_old[k], poses_old[c])
+                    tree_pairs.add((c, k))
+        # the new loop edge c <- m with measurement S_cm
         e_i.append(kf_c); e_j.append(kf_m)
         mR.append(R_cm); mt.append(t_cm); ms.append(s_cm)
+        s.loop_edges.append((kf_c, kf_m))
 
         E = len(e_i)
         ecap = ((E + 255) // 256) * 256
@@ -291,10 +397,97 @@ class LoopCloser:
         sn = s_new[anchors]
         Xw = np.einsum("nji,nj->ni", Rn, (Xa - tn) / sn[:, None])
         s.pt_pos[pids] = Xw.astype(np.float32)
+
+        # remap MAP LINES through their anchor KFs the same way
+        # (the reference leaves lines to the next retriangulation;
+        # transforming X0/dir keeps them consistent immediately)
+        lids = np.nonzero(s.ln_valid[: s.n_ln])[0]
+        if len(lids):
+            lanch = np.clip(s.ln_first_kf[lids], 0, K - 1)
+            To = poses_old[lanch]
+            X0a = np.einsum("nij,nj->ni", To[:, :3, :3], s.ln_x0[lids]) \
+                + To[:, :3, 3]
+            da = np.einsum("nij,nj->ni", To[:, :3, :3], s.ln_dir[lids])
+            Rn_l, tn_l, sn_l = R_new[lanch], t_new[lanch], s_new[lanch]
+            X0w = np.einsum("nji,nj->ni", Rn_l, (X0a - tn_l) / sn_l[:, None])
+            dw = np.einsum("nji,nj->ni", Rn_l, da)
+            dw /= np.maximum(np.linalg.norm(dw, axis=-1, keepdims=True), 1e-9)
+            # restore the X0-perp-dir invariant of the minimal form
+            X0w = X0w - np.sum(X0w * dw, axis=-1, keepdims=True) * dw
+            s.ln_x0[lids] = X0w.astype(np.float32)
+            s.ln_dir[lids] = dw.astype(np.float32)
+
         s.kf_pose[:K] = T_new
+
+        # --- loop fusion (LoopClosing.cc:520-544 current-KF binding +
+        # SearchAndFuse :589-620 over the corrected group). Divergence: the
+        # reference fuses BEFORE the essential graph (its fusion creates the
+        # LoopConnections the graph optimizes); here the graph runs first and
+        # fusion uses the already-consistent geometry — the new covisibility
+        # edges take effect from the next event on. ---
+        kp2lp, loop_pids = getattr(self, "_loop_guided", (None, None))
+        covis, _ = s.covisible_kfs(kf_c, min_shared=15, top=10)
+        group = np.concatenate([[kf_c], covis]).astype(np.int32)
+        if kp2lp is not None:
+            self._fuse_into_kf(kf_c, kp2lp)
+            for kf in group[1:]:
+                k2 = self._project_match(int(kf), loop_pids,
+                                         s.kf_pose[int(kf)], th=2.0)
+                self._fuse_into_kf(int(kf), k2)
+            s.refresh_obs_counts()
+            s._update_point_geometry(loop_pids)
+            self._loop_guided = (None, None)
 
         # global BA (LoopClosing.cc:647-751 -> Optimizer.cc:312)
         self.global_ba()
+
+    def _fuse_into_kf(self, kf: int, kp2pid: np.ndarray):
+        """Bind matched loop points into one keyframe: a hit on a feature
+        holding another point REPLACES that point with the loop point
+        (MapPoint::Replace — the loop side survives, ORBmatcher::Fuse
+        semantics in SearchAndFuse, LoopClosing.cc:609-617); a hit on a free
+        feature adds an observation."""
+        s = self.store
+        K = s.n_kf
+        row = s.kf_pt_ids[kf]
+        present = set(int(x) for x in row[row >= 0])
+        merged = False
+        for f in np.nonzero(kp2pid >= 0)[0]:
+            lp = int(kp2pid[f])
+            if not s.pt_valid[lp]:
+                continue
+            q = int(row[f])
+            if q == lp:
+                continue
+            if q < 0:
+                if lp in present:
+                    continue
+                row[f] = lp
+                present.add(lp)
+                s.mark_obs_dirty()
+            else:
+                m = s.kf_pt_ids[:K] == q
+                s.kf_pt_ids[:K][m] = lp
+                s.pt_valid[q] = False
+                present.discard(q)
+                present.add(lp)
+                merged = True
+                s.mark_obs_dirty()
+        if merged:
+            # row-wise dedup after global replacement (one obs per (KF, pt))
+            ids = s.kf_pt_ids[:K]
+            for k in range(K):
+                r = ids[k]
+                vals = r[r >= 0]
+                if len(vals) != len(np.unique(vals)):
+                    seen: set[int] = set()
+                    for i in np.nonzero(r >= 0)[0]:
+                        v = int(r[i])
+                        if v in seen:
+                            r[i] = -1
+                        else:
+                            seen.add(v)
+            s.mark_obs_dirty()
 
     # ------------------------------------------------------------------
 
@@ -362,6 +555,82 @@ class LoopCloser:
                                    cg_iters=cg_iters)
         s.kf_pose[:K] = np.asarray(solved.poses)[:K]
         s.pt_pos[pids] = np.asarray(solved.points)[: len(pids)]
+        self._global_line_refine()
+
+    def _global_line_refine(self, min_obs: int = 4):
+        """The >= 4-obs line terms of the reference's global BA
+        (Optimizer.cc:473): batched per-line GN against ALL observations with
+        the (freshly solved) poses fixed — see
+        lines_ba.refine_lines_fixed_poses for the documented divergence."""
+        s = self.store
+        K = s.n_kf
+        lids = np.nonzero(s.ln_valid[: s.n_ln] & (s.ln_nobs[: s.n_ln]
+                                                  >= min_obs))[0]
+        if len(lids) == 0:
+            return
+        from ..geometry import lines as glines
+        from ..optim import lines_ba
+
+        kf_idx, det_idx = np.nonzero(s.kf_ln_ids[:K] >= 0)
+        obs_l = s.kf_ln_ids[kf_idx, det_idx]
+        keep = np.isin(obs_l, lids)
+        kf_idx, det_idx, obs_l = kf_idx[keep], det_idx[keep], obs_l[keep]
+        if len(kf_idx) == 0:
+            return
+        ln_lut = np.full(s.max_ln, -1, np.int32)
+        ln_lut[lids] = np.arange(len(lids), dtype=np.int32)
+        LC = ((len(lids) + 511) // 512) * 512
+        O = len(kf_idx)
+        OC = ((O + 2047) // 2048) * 2048
+
+        def pad(a, fill=0):
+            out = np.full((OC,) + a.shape[1:], fill, a.dtype)
+            out[:O] = a
+            return out
+
+        lobs = lines_ba.LineBAObs(
+            k=jnp.asarray(pad(kf_idx.astype(np.int32))),
+            l=jnp.asarray(pad(ln_lut[obs_l])),
+            x1l=jnp.asarray(pad(s.kf_ln_p1[kf_idx, det_idx])),
+            x2l=jnp.asarray(pad(s.kf_ln_p2[kf_idx, det_idx])),
+            x1r=jnp.asarray(pad(s.kf_ln_p1r[kf_idx, det_idx])),
+            x2r=jnp.asarray(pad(s.kf_ln_p2r[kf_idx, det_idx])),
+            octave=jnp.asarray(pad(s.kf_ln_oct[kf_idx, det_idx])),
+            has_r=jnp.asarray(pad(s.kf_ln_has_r[kf_idx, det_idx])),
+            valid=jnp.asarray(np.arange(OC) < O),
+        )
+        x0 = np.zeros((LC, 3), np.float32)
+        dr = np.tile(np.array([1, 0, 0], np.float32), (LC, 1))
+        x0[: len(lids)] = s.ln_x0[lids]
+        dr[: len(lids)] = s.ln_dir[lids]
+        q, alpha = glines.minimal_from_x0dir(jnp.asarray(x0), jnp.asarray(dr))
+        KC = ((K + 63) // 64) * 64
+        poses = np.tile(np.eye(4, dtype=np.float32), (KC, 1, 1))
+        poses[:K] = s.kf_pose[:K]
+        base = ba.BAProblem(
+            poses=jnp.asarray(poses),
+            points=jnp.zeros((8, 3), jnp.float32),
+            pose_fixed=jnp.ones(KC, bool),
+            point_valid=jnp.zeros(8, bool),
+            obs=ba.BAObs(
+                k=jnp.zeros(8, jnp.int32), p=jnp.zeros(8, jnp.int32),
+                uvr=jnp.zeros((8, 3), jnp.float32),
+                inv_sigma2=jnp.ones(8, jnp.float32),
+                is_stereo=jnp.zeros(8, bool),
+                valid=jnp.zeros(8, bool)))
+        line_valid = np.zeros(LC, bool)
+        line_valid[: len(lids)] = True
+        joint = lines_ba.JointProblem(
+            base=base, q=q, alpha=alpha,
+            line_valid=jnp.asarray(line_valid), lobs=lobs)
+        q2, a2 = lines_ba.refine_lines_fixed_poses(
+            s.cam, joint, gamma=float(self.cfg.line.gamma))
+        X0n, dn = glines.x0dir_from_minimal(q2, a2)
+        X0n = np.asarray(X0n)[: len(lids)]
+        dn = np.asarray(dn)[: len(lids)]
+        fin = np.isfinite(X0n).all(-1) & np.isfinite(dn).all(-1)
+        s.ln_x0[lids[fin]] = X0n[fin]
+        s.ln_dir[lids[fin]] = dn[fin]
 
 
 def warmup_loop_programs(cam) -> None:

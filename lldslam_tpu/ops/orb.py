@@ -210,10 +210,9 @@ def _ic_angle(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     return jnp.arctan2(g01.astype(jnp.float32), g10.astype(jnp.float32))
 
 
-def _brief_desc(blur: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
-    """Rotated BRIEF-256 on the blurred level image (computeOrbDescriptor,
-    ORBextractor.cc:108-147). Returns (n, 8) uint32."""
-    h, w = blur.shape
+def _rotated_taps(xy: jnp.ndarray, angle: jnp.ndarray, h: int, w: int):
+    """Rotated-BRIEF tap coordinates (GET_VALUE, ORBextractor.cc:108-147):
+    (gy, gx) each (n, 256, 2) int32, clipped into the image."""
     pat = jnp.asarray(_PATTERN, jnp.float32)  # (256, 2, 2) [(a,b), (x,y)]
     ca, sa = jnp.cos(angle), jnp.sin(angle)  # (n,)
     px = pat[None, :, :, 0]  # (1, 256, 2)
@@ -223,11 +222,72 @@ def _brief_desc(blur: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray) -> jnp.n
     ry = jnp.round(px * sa[:, None, None] + py * ca[:, None, None]).astype(jnp.int32)
     gx = jnp.clip(xy[:, None, None, 0] + rx, 0, w - 1)  # (n, 256, 2)
     gy = jnp.clip(xy[:, None, None, 1] + ry, 0, h - 1)
-    vals = blur[gy, gx]  # (n, 256, 2)
-    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # (n, 256)
+    return gy, gx
+
+
+def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """(n, 256) {0,1} -> (n, 8) packed uint32."""
     shifts = jnp.arange(32, dtype=jnp.uint32)
-    words = jnp.sum(bits.reshape(-1, 8, 32) << shifts[None, None, :], axis=-1)
+    words = jnp.sum(bits.astype(jnp.uint32).reshape(-1, 8, 32)
+                    << shifts[None, None, :], axis=-1)
     return words.astype(jnp.uint32)
+
+
+def _brief_desc(blur: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotated BRIEF-256 on the blurred level image (computeOrbDescriptor,
+    ORBextractor.cc:108-147). Returns (n, 8) uint32. XLA-gather formulation
+    (reference path for CPU tests and small images)."""
+    h, w = blur.shape
+    gy, gx = _rotated_taps(xy, angle, h, w)
+    vals = blur[gy, gx]  # (n, 256, 2)
+    return _pack_bits(vals[..., 0] < vals[..., 1])
+
+
+def use_pallas_brief() -> bool:
+    """The Pallas sampler runs on real TPU backends; CPU (tests, virtual
+    meshes) keeps the XLA gather path. Override via module flag."""
+    if FORCE_PALLAS_BRIEF is not None:
+        return FORCE_PALLAS_BRIEF
+    return jax.default_backend() not in ("cpu",)
+
+
+FORCE_PALLAS_BRIEF: bool | None = None
+
+
+def _brief_desc_stack(blur_stack: jnp.ndarray, w_real: int, xy: jnp.ndarray,
+                      view: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotated BRIEF for keypoints spread over a stack of images of one
+    shape (the L/R pair, or a single view), via the Pallas patch sampler
+    (ops/patch_sample.py) — the (n, 512)-tap gather is the dominant
+    frame-build cost under XLA on TPU.
+
+    blur_stack (V, H, Wp) with Wp % 128 == 0, w_real the unpadded width;
+    xy (n, 2) int32 level coords; view (n,) int32. Returns (n, 8) uint32.
+    """
+    from . import patch_sample as ps
+
+    V, H, Wp = blur_stack.shape
+    n = xy.shape[0]
+    gy, gx = _rotated_taps(xy, angle, H, w_real)
+    # window origins: rows y-19 (clipped), cols 128-aligned below x-19 —
+    # every clipped tap provably lands inside the (40, 256) window
+    x = xy[:, 0]
+    y = xy[:, 1]
+    # 8-aligned row origin (Mosaic sublane constraint); floor(y-19, 8) still
+    # covers every clipped tap because ROWS - 26 >= 21
+    r0 = jnp.clip(((y - 19) // 8) * 8, 0, H - ps.ROWS)
+    c0 = jnp.clip(((x - 19) // 128) * 128, 0, Wp - ps.COLS)
+    # sample order: 256 'a' taps then 256 'b' taps
+    iy = jnp.concatenate([gy[:, :, 0], gy[:, :, 1]], axis=1) - r0[:, None]
+    ix = jnp.concatenate([gx[:, :, 0], gx[:, :, 1]], axis=1) - c0[:, None]
+    meta = jnp.stack([view, r0, c0, jnp.zeros_like(r0)], axis=-1)
+    pad = (-n) % ps.KB
+    if pad:
+        iy = jnp.pad(iy, ((0, pad), (0, 0)))
+        ix = jnp.pad(ix, ((0, pad), (0, 0)))
+        meta = jnp.pad(meta, ((0, pad), (0, 0)))
+    vals = ps.sample_patches(blur_stack, meta, iy, ix)[:n]
+    return _pack_bits(vals[:, :256] < vals[:, 256:])
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -297,3 +357,64 @@ def extract_pyr(pyr, cfg: OrbConfig = OrbConfig()) -> Keypoints:
 extract_pair = jax.jit(
     jax.vmap(extract, in_axes=(0, None)), static_argnames=("cfg",)
 )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_stack_pyr(pyr, cfg: OrbConfig = OrbConfig()) -> Keypoints:
+    """ORB extraction for a STACK of same-shape views per level
+    (pyr: tuple of (V, H_l, W_l) arrays — V=2 for a stereo pair).
+
+    Identical math to `vmap(extract_pyr)` but the rotated-BRIEF taps go
+    through the Pallas patch sampler on TPU (one kernel per level over both
+    views), which replaces the XLA element-gather that dominated frame build.
+    Returns Keypoints with leading dim V.
+    """
+    V = pyr[0].shape[0]
+    budgets = cfg.per_level_budget()
+    scales = cfg.scale_factors()
+    from . import patch_sample as psmp
+    parts = []
+    for l, (im_l, n_l, s_l) in enumerate(zip(pyr, budgets, scales)):
+        _, h, w = im_l.shape
+        score = jax.vmap(lambda a: fast.nms3x3(fast.fast_score_map(a, cfg.min_th)))(im_l)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        inside = (
+            (ys >= EDGE_MARGIN)
+            & (ys < h - EDGE_MARGIN)
+            & (xs >= EDGE_MARGIN)
+            & (xs < w - EDGE_MARGIN)
+        )
+        score = jnp.where(inside[None], score, 0.0)
+        xy_l, resp = jax.vmap(lambda s: _select_level_keypoints(s, n_l, cfg))(score)
+        ang = jax.vmap(_ic_angle)(im_l, xy_l)
+        blur = jnp.round(jax.vmap(image.gaussian_blur)(im_l))
+        wp = ((w + 127) // 128) * 128
+        if use_pallas_brief() and h >= psmp.ROWS and wp >= psmp.COLS:
+            blur_p = jnp.pad(blur, ((0, 0), (0, 0), (0, wp - w)))
+            view = jnp.repeat(jnp.arange(V, dtype=jnp.int32), n_l)
+            desc = _brief_desc_stack(
+                blur_p, w, xy_l.reshape(V * n_l, 2), view,
+                ang.reshape(V * n_l)).reshape(V, n_l, 8)
+        else:
+            desc = jax.vmap(_brief_desc)(blur, xy_l, ang)
+        valid = resp > 0
+        xy0 = xy_l.astype(jnp.float32) * s_l
+        parts.append((xy0, resp, jnp.full((V, n_l), l, jnp.int32), ang,
+                      desc, valid))
+    xy = jnp.concatenate([p[0] for p in parts], axis=1)
+    resp = jnp.concatenate([p[1] for p in parts], axis=1)
+    octv = jnp.concatenate([p[2] for p in parts], axis=1)
+    ang = jnp.concatenate([p[3] for p in parts], axis=1)
+    desc = jnp.concatenate([p[4] for p in parts], axis=1)
+    valid = jnp.concatenate([p[5] for p in parts], axis=1)
+    n, cap = xy.shape[1], cfg.max_kp
+    if n < cap:
+        pad = cap - n
+        xy = jnp.pad(xy, ((0, 0), (0, pad), (0, 0)))
+        resp = jnp.pad(resp, ((0, 0), (0, pad)))
+        octv = jnp.pad(octv, ((0, 0), (0, pad)))
+        ang = jnp.pad(ang, ((0, 0), (0, pad)))
+        desc = jnp.pad(desc, ((0, 0), (0, pad), (0, 0)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
+    return Keypoints(xy, resp, octv, ang, desc, valid)

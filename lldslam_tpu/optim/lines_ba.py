@@ -357,6 +357,43 @@ def joint_ba_solve(
     return problem, chi2_p, chi2_l
 
 
+@partial(jax.jit, static_argnames=("cam", "iters", "gamma"))
+def refine_lines_fixed_poses(cam: StereoCamera, problem: JointProblem,
+                             gamma: float = 0.5, iters: int = 4):
+    """Global-BA line refinement with poses held fixed: per-line damped 4x4
+    GN assembled by segment-sum over ALL observations (the >= 4-obs line
+    terms of the reference's global BA, Optimizer.cc:473 /
+    AddLineMinimalGlobal :149). Divergence, documented: the pose<->line
+    coupling is dropped — poses come from the point system (gamma = 0.5
+    line terms are a small fraction of the reference's global problem), so
+    each line solves independently, which is exactly segment-summed batched
+    work on TPU. Returns (q, alpha)."""
+    L = problem.q.shape[0]
+    o = problem.lobs
+    lam = 1e-3
+
+    def body(i, state):
+        q, a = state
+        pb = problem._replace(q=q, alpha=a)
+        r, Jc, Jl, W, chi2 = _line_terms(cam, pb, gamma, robust=True)
+        JlW = Jl * W[:, :, None]
+        Hll = jnp.zeros((L, 4, 4)).at[o.l].add(
+            jnp.einsum("ori,orj->oij", JlW, Jl))
+        bl = jnp.zeros((L, 4)).at[o.l].add(-jnp.einsum("ori,or->oi", JlW, r))
+        Hll = Hll + lam * jnp.eye(4)[None]
+        dl = jnp.einsum("lij,lj->li", _inv4x4(Hll), bl)
+        has = jnp.zeros((L,), r.dtype).at[o.l].add(W.sum(-1)) > 0
+        dl = jnp.where((has & problem.line_valid)[:, None], dl, 0.0)
+        pb2 = _apply_line_update(pb, dl)
+        q2, a2 = pb2.q, pb2.alpha
+        fin = jnp.isfinite(q2).all(-1) & jnp.isfinite(a2)
+        q2 = jnp.where(fin[:, None], q2, q)
+        a2 = jnp.where(fin, a2, a)
+        return q2, a2
+
+    return jax.lax.fori_loop(0, iters, body, (problem.q, problem.alpha))
+
+
 def classify_line_outliers(problem: JointProblem, chi2_l, gamma: float = 0.5):
     """Line observation inlier mask: chi2 against the gamma-scaled stereo
     threshold x2 (the LineOptimizer DisableOutliers gate semantics,

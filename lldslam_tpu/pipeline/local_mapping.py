@@ -65,6 +65,10 @@ class LocalMapper:
             1.0 / store.cfg.scale ** 2, np.arange(store.cfg.n_levels)
         ).astype(np.float32)
         self._kf_count = 0
+        # invoked with the culled KF id (tracker wires KeyFrameDatabase.erase
+        # here — the reference erases at KeyFrame.cc:567)
+        self.on_kf_culled = None
+        self.stage_times: dict[str, float] = {}
 
     # ------------------------------------------------------------------
 
@@ -133,7 +137,10 @@ class LocalMapper:
         """The LocalMapping::Run loop body, deterministic
         (LocalMapping.cc:53-113 order: process -> cull points -> create new
         points -> fuse -> local BA -> cull keyframes)."""
+        import time as _time
+        t = _time.perf_counter
         s = self.store
+        t0 = t()
         s.refresh_obs_counts()
         # newly created points of this KF enter the culling probation window
         new_ids = s.kf_pt_ids[kf_id][(s.kf_pt_ids[kf_id] >= 0)
@@ -143,15 +150,27 @@ class LocalMapper:
         for src_kf, ids in list(self._recent):
             if len(ids):
                 s.cull_points(ids, current_kf=kf_id)
+        t1 = t()
         if s.n_kf >= 2:
             tri_ids = self.create_new_points(kf_id)
             if len(tri_ids):
                 self.note_created(kf_id, tri_ids)
+            t2 = t()
             self.fuse_neighbors(kf_id)
+        else:
+            t2 = t()
+        t3 = t()
         self._kf_count += 1
         if s.n_kf >= 2 and self._kf_count % self.ba_interval == 0:
             self.local_ba(kf_id)
+        t4 = t()
         self.cull_keyframes(kf_id)
+        t5 = t()
+        st = self.stage_times
+        for k, v in (("cull_pts", t1 - t0), ("triangulate", t2 - t1),
+                     ("fuse", t3 - t2), ("ba", t4 - t3), ("cull_kf", t5 - t4)):
+            st[k] = st.get(k, 0.0) + v
+        st["n"] = st.get("n", 0) + 1
 
     # ------------------------------------------------------------------
 
@@ -186,6 +205,8 @@ class LocalMapper:
         # neighbor is dropped for later neighbors rather than letting them
         # fall back to their second-best left feature, so dense-overlap
         # scenes triangulate slightly fewer points than the sequential loop.
+        import time as _time
+        _t0 = _time.perf_counter()
         bufs = np.asarray(mapping_ops.triangulate_pairs(
             s.cam, jnp.asarray(s.kf_pose[kf_id]),
             jnp.asarray(s.kf_xy[kf_id]), jnp.asarray(s.kf_desc[kf_id]),
@@ -193,6 +214,8 @@ class LocalMapper:
             jnp.asarray(s.kf_pose[nbs]), jnp.asarray(s.kf_xy[nbs]),
             jnp.asarray(s.kf_desc[nbs]), jnp.asarray(s.kf_oct[nbs]),
             jnp.asarray(free2s), lut))
+        self.stage_times["tri_dev"] = self.stage_times.get("tri_dev", 0.0) \
+            + (_time.perf_counter() - _t0)
         for bi, nb in enumerate(nbs[:n_real]):
             n_good, match, X = mapping_ops.unpack_triangulate_np(bufs[bi], s.n_kp)
             sel = np.nonzero((match >= 0) & ~claimed)[0]
@@ -255,9 +278,13 @@ class LocalMapper:
             angle=jnp.asarray(s.kf_angle[nbs]),
             desc=jnp.asarray(s.kf_desc[nbs]),
             valid=jnp.asarray(valid2))
+        import time as _time
+        _t0 = _time.perf_counter()
         bufs = np.asarray(mapping_ops.fuse_candidates_multi(
             s.cam, jnp.asarray(s.kf_pose[nbs]), view, feats_s,
             n_levels=s.cfg.n_levels, scale=s.cfg.scale))
+        self.stage_times["fuse_dev"] = self.stage_times.get("fuse_dev", 0.0) \
+            + (_time.perf_counter() - _t0)
         merged = False
         for bi, nb in enumerate(nbs[:n_real]):
             kp2pt = bufs[bi][cap:]
@@ -339,7 +366,10 @@ class LocalMapper:
                 s.kf_pt_ids[k] = -1
                 s.kf_ln_ids[k] = -1  # divergence from D7: detach line obs too
                 s.kf_valid[k] = False
+                s.reparent_children(k)
                 s.mark_obs_dirty()
+                if self.on_kf_culled is not None:
+                    self.on_kf_culled(k)
         s.refresh_obs_counts()
 
     # ------------------------------------------------------------------
@@ -515,7 +545,11 @@ class LocalMapper:
         if self.enable_lines:
             self._local_ba_joint(problem, meta)
             return
+        import time as _time
+        _t0 = _time.perf_counter()
         buf = np.asarray(ba.local_ba_packed(self.cam, problem))
+        self.stage_times["ba_dev"] = self.stage_times.get("ba_dev", 0.0) \
+            + (_time.perf_counter() - _t0)
         poses, points, keep = ba.unpack_local_ba_np(
             buf, self.k_cap, meta["p_bkt"])
 

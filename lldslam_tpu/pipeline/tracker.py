@@ -76,7 +76,58 @@ def _gather_pose_obs(
 
 @partial(jax.jit, static_argnames=("cam", "n_levels", "scale", "min_mm",
                                    "close_depth"))
+def _track_step_chained(
+    cam: StereoCamera,
+    T_prev: jnp.ndarray,
+    vel_prev: jnp.ndarray,
+    last_feats: matching.FrameFeatures,
+    last_ptpos: jnp.ndarray,
+    last_haspt: jnp.ndarray,
+    cur: matching.FrameFeatures,
+    depth: jnp.ndarray,
+    view: matching.MapPointView,
+    inv_sigma2_lut: jnp.ndarray,
+    n_levels: int,
+    scale: float,
+    min_mm: int,
+    close_depth: float,
+):
+    """Pipelined variant: the motion prediction T_pred = vel @ T_prev and the
+    velocity update happen ON DEVICE, so frame i+1 can be dispatched before
+    frame i's results ever reach the host (the host finalizes with a 1-frame
+    lag — the deterministic analogue of the reference's tracking-vs-mapping
+    thread overlap). Returns (packed, X2, ok, T2, vel2)."""
+    T_pred = vel_prev @ T_prev
+    packed, X2, ok, T2 = _track_core(
+        cam, T_pred, last_feats, last_ptpos, last_haspt, cur, depth, view,
+        inv_sigma2_lut, n_levels, scale, min_mm, close_depth)
+    vel2 = T2 @ jnp.linalg.inv(T_prev)
+    return packed, X2, ok, T2, vel2
+
+
+@partial(jax.jit, static_argnames=("cam", "n_levels", "scale", "min_mm",
+                                   "close_depth"))
 def _track_step(
+    cam: StereoCamera,
+    T_pred: jnp.ndarray,
+    last_feats: matching.FrameFeatures,
+    last_ptpos: jnp.ndarray,
+    last_haspt: jnp.ndarray,
+    cur: matching.FrameFeatures,
+    depth: jnp.ndarray,
+    view: matching.MapPointView,
+    inv_sigma2_lut: jnp.ndarray,
+    n_levels: int,
+    scale: float,
+    min_mm: int,
+    close_depth: float,
+):
+    return _track_core(cam, T_pred, last_feats, last_ptpos, last_haspt, cur,
+                       depth, view, inv_sigma2_lut, n_levels, scale, min_mm,
+                       close_depth)
+
+
+def _track_core(
     cam: StereoCamera,
     T_pred: jnp.ndarray,
     last_feats: matching.FrameFeatures,
@@ -234,7 +285,8 @@ class TrackMetrics:
 class StereoTracker:
     def __init__(self, cfg: SlamConfig, store: MapStore | None = None,
                  local_pt_cap: int = 8192, mapper_kwargs: dict | None = None,
-                 enable_loops: bool = True, vocabulary=None):
+                 enable_loops: bool = True, vocabulary=None,
+                 pipeline: bool = False):
         self.cfg = cfg
         self.cam = cfg.camera.stereo_camera()
         self.orb = cfg.orb
@@ -261,6 +313,12 @@ class StereoTracker:
         self._view_pid = None
         self._reloc_key = jax.random.PRNGKey(7)
         self.localization_only = False
+        # pipelined (finalize-lag-1) mode state
+        self.pipeline = pipeline
+        self._pending = None
+        self._dev_T = None
+        self._dev_vel = None
+        self._resync = True
         self._mono = False
         self._init_ref = None
         # line pipeline (the LLD differentiator; off when ldType is `empty`,
@@ -275,14 +333,46 @@ class StereoTracker:
             self.line_cfg = LineDetConfig(
                 max_lines=self.store.n_ln_det,
                 min_len=cfg.line.min_line_len)
+            # stored-line route (the reference's benchmark configuration:
+            # StoredLineExtractor selected by `ldType: LBDFloat` +
+            # lineDetectionsPath, stereo_kitti.cc:61-85, Frame.cc:116-117).
+            # Layout: <detections_path>/{left,right}/%06d.npz, or
+            # detections_path=left dir and descriptors_path=right dir.
+            self._line_source = None
+            if cfg.line.ld_type.lower() == "lbdfloat" \
+                    and cfg.line.detections_path:
+                from pathlib import Path
+                from ..io.stored_lines import StoredLineSource
+                base = Path(cfg.line.detections_path)
+                if (base / "left").is_dir():
+                    left, right = base / "left", base / "right"
+                else:
+                    left = base
+                    right = Path(cfg.line.descriptors_path or base)
+                dim = self.store.ln_desc.shape[1]
+                self._line_source = (
+                    StoredLineSource(left, cap=self.store.n_ln_det,
+                                     desc_dim=dim),
+                    StoredLineSource(right, cap=self.store.n_ln_det,
+                                     desc_dim=dim))
+                # stored LBD descriptors live on LBDMOD's unnormalized L2
+                # scale: `mdThr` applies directly (Tracking.cc:1092)
+                self._md_gate = float(cfg.line.md_thr)
+            else:
+                # native detector: descriptors are L2-normalized, so map the
+                # configured mdThr proportionally from its LBDMOD default
+                # (2.0) onto the native gate
+                self._md_gate = float(
+                    self.line_cfg.desc_thr * cfg.line.md_thr / 2.0)
             self._refresh_line_view()
         # TrackReferenceKeyFrame matcher: global descriptor association with
         # ratio 0.7 + mutual check (SearchByBoW semantics, ORBmatcher.cc:159;
         # without the BoW-node gating, which only exists to prune CPU work)
         self._ref_match = jax.jit(partial(
             hamming.match_descriptors, max_dist=hamming.TH_LOW, ratio=0.7))
+        self._mapper_kwargs = dict(mapper_kwargs or {})
         self.mapper = local_mapping.LocalMapper(
-            self.store, cfg, **(mapper_kwargs or {}))
+            self.store, cfg, **self._mapper_kwargs)
         # loop closing: vocabulary supplied up front, or trained from the
         # first keyframe's descriptors at initialization (System.cc:70 loads
         # ORBvoc.txt; loop/bow.py reads that format too)
@@ -292,6 +382,7 @@ class StereoTracker:
         if enable_loops and vocabulary is not None:
             from ..loop.closing import LoopCloser
             self.loop_closer = LoopCloser(self.store, vocabulary, cfg)
+            self.mapper.on_kf_culled = self.loop_closer.db.erase
 
     # ------------------------------------------------------------------
 
@@ -309,10 +400,14 @@ class StereoTracker:
         fd = build_frame(jl, jr, self.cam, self.orb)
         if self.enable_lines:
             from ..frontend import line_extract, line_match
-            kld = line_extract.detect_lines(jl, self.line_cfg)
-            krd = line_extract.detect_lines(jr, self.line_cfg)
+            if self._line_source is not None:
+                kld = self._line_source[0].frame(self.frame_id)
+                krd = self._line_source[1].frame(self.frame_id)
+            else:
+                kld = line_extract.detect_lines(jl, self.line_cfg)
+                krd = line_extract.detect_lines(jr, self.line_cfg)
             self._cur_fl = line_match.match_stereo_lines(
-                self.cam, kld, krd, md_thr=self.line_cfg.desc_thr,
+                self.cam, kld, krd, md_thr=self._md_gate,
                 min_len=self.cfg.line.min_line_len)
         m.t_build = _time.perf_counter() - t0
         return self._process_fd(fd, timestamp, m)
@@ -400,6 +495,7 @@ class StereoTracker:
         ids = s.create_points(kf0, sel, X[sel].astype(np.float32))
         s.kf_pt_ids[kf1, idx[sel]] = ids
         s.mark_obs_dirty()
+        s.set_parent_from_covisibility(kf1)
         s.refresh_obs_counts()
         self.T_cw = T1
         self.velocity = np.eye(4, dtype=np.float32)
@@ -411,6 +507,7 @@ class StereoTracker:
             self.vocabulary = Vocabulary.train(
                 snap[0]["desc"][snap[0]["valid"]], k=8, L=3, seed=0)
             self.loop_closer = LoopCloser(self.store, self.vocabulary, self.cfg)
+            self.mapper.on_kf_culled = self.loop_closer.db.erase
         if self.loop_closer is not None:
             self.loop_closer.process_keyframe(kf0)
             self.loop_closer.process_keyframe(kf1)
@@ -432,18 +529,145 @@ class StereoTracker:
 
     def _process_fd(self, fd: FrameData, timestamp: float, m: TrackMetrics):
         import time as _time
+        if self.pipeline and self.state == TrackState.OK \
+                and not self.enable_lines and not self._mono \
+                and not self.localization_only:
+            return self._process_pipelined(fd, timestamp, m)
+        self.flush()
         t0 = _time.perf_counter()
         if self.state == TrackState.NOT_INITIALIZED:
             self._initialize(fd, timestamp, m)
         else:
             self._track(fd, timestamp, m)
+        self._resync = True  # device pose chain reseeds at next dispatch
         m.t_step = _time.perf_counter() - t0 - m.t_kf
+        self._finish_metrics(m)
+        return self.T_cw.copy(), m
 
+    def _finish_metrics(self, m: TrackMetrics):
         m.state = self.state.name
         m.n_points = int(self.store.pt_valid.sum())
         m.n_kfs = self.store.n_kf
         m.n_lines = int(self.store.ln_valid.sum())
         self.metrics.append(m)
+
+    # ------------------------------------------------------------------
+    # pipelined mode: dispatch frame i, finalize frame i-1 (1-frame lag).
+    # The motion prediction + velocity update run on device
+    # (_track_step_chained), so the dispatch needs nothing from frame i-1's
+    # readback. Host bookkeeping (associations, stats, KF decision, mapping,
+    # loops) happens one frame late — the deterministic analogue of the
+    # reference's tracking/LocalMapping thread overlap (LocalMapping.cc:48):
+    # a new keyframe's map points reach the tracker's local-map view two
+    # frames after the keyframe, exactly like the reference's queue lag.
+    # ------------------------------------------------------------------
+
+    def _process_pipelined(self, fd: FrameData, timestamp: float,
+                           m: TrackMetrics):
+        import time as _time
+        ret = None
+        if self._pending is not None and self._resync:
+            # chain poisoned (LOST/fallback/loop jump): fix host state first
+            ret = self.flush()
+        if self._resync or self._dev_T is None:
+            self._dev_T = jnp.asarray(self.T_cw)
+            self._dev_vel = jnp.asarray(self.velocity)
+            self._resync = False
+        t0 = _time.perf_counter()
+        prev = (self._last_feats, self._last_ptpos, self._last_haspt)
+        out = _track_step_chained(
+            self.cam, self._dev_T, self._dev_vel, self._last_feats,
+            self._last_ptpos, self._last_haspt, fd.feats, fd.depth,
+            self._view, self._inv_sigma2_lut, self.orb.n_levels,
+            self.orb.scale, self.cfg.tracking.min_motion_matches,
+            float(self.cfg.close_depth))
+        m.t_dispatch = _time.perf_counter() - t0
+        rec = dict(fd=fd, out=out, ts=timestamp, m=m, fid=self.frame_id,
+                   view_pid=self._view_pid, prev=prev)
+        self._dev_T, self._dev_vel = out[3], out[4]
+        self._last_feats = fd.feats
+        self._last_ptpos, self._last_haspt = out[1], out[2]
+        pend, self._pending = self._pending, rec
+        if pend is not None:
+            ret = self._finalize_rec(pend)
+        return ret if ret is not None else (self.T_cw.copy(), None)
+
+    def flush(self):
+        """Finalize the in-flight pipelined frame (sequence end, or before
+        any synchronous processing)."""
+        if getattr(self, "_pending", None) is None:
+            return None
+        rec, self._pending = self._pending, None
+        return self._finalize_rec(rec)
+
+    def _finalize_rec(self, rec: dict):
+        import time as _time
+        m: TrackMetrics = rec["m"]
+        t0 = _time.perf_counter()
+        if self._resync:
+            # the device results were computed from a poisoned pose chain —
+            # reprocess this frame through the synchronous path (rare:
+            # tracking failure, relocalization, loop-closure jump). The
+            # predecessor was itself finalized synchronously, so _last_*
+            # already hold ITS corrected state — do not restore rec["prev"],
+            # which still points at the poisoned device chain.
+            self._track(rec["fd"], rec["ts"], m, fid=rec["fid"])
+            m.t_step = _time.perf_counter() - t0 - m.t_kf
+            self._finish_metrics(m)
+            return self.T_cw.copy(), m
+
+        out = rec["out"]
+        t_g = _time.perf_counter()
+        packed = jax.device_get(out[0])
+        m.t_get = _time.perf_counter() - t_g
+        (T_np, n_mm, n_in, tracked_close, untracked_close, n_kp, n_st,
+         kp2last, kp2pt_l, ok, in_frustum) = self._unpack(packed)
+        m.n_motion_matches = int(n_mm)
+        m.n_kp = int(n_kp)
+        m.n_stereo = int(n_st)
+
+        if n_in < self.cfg.tracking.min_track_inliers:
+            # weak — rerun this frame synchronously (ref-KF fallback / LOST
+            # handling live there) and poison the chain for the in-flight
+            # frame
+            self._resync = True
+            self._last_feats, self._last_ptpos, self._last_haspt = rec["prev"]
+            self._track(rec["fd"], rec["ts"], m, fid=rec["fid"])
+            m.t_step = _time.perf_counter() - t0 - m.t_kf
+            self._finish_metrics(m)
+            return self.T_cw.copy(), m
+
+        m.n_inliers = n_in
+        pid = rec["view_pid"]
+        kp2pt = np.where(
+            kp2pt_l >= 0, pid[np.maximum(kp2pt_l, 0)],
+            np.where(kp2last >= 0,
+                     self._last_kp2pt[np.maximum(kp2last, 0)], -1),
+        ).astype(np.int32)
+        kp2pt[~ok] = -1
+        vis_ids = pid[in_frustum & (pid >= 0)]
+        np.add.at(self.store.pt_visible, vis_ids, 1)
+        np.add.at(self.store.pt_found, kp2pt[kp2pt >= 0], 1)
+
+        self.state = TrackState.OK
+        self.velocity = (T_np @ np.linalg.inv(self.T_cw)).astype(np.float32)
+        self.T_cw = T_np.astype(np.float32)
+
+        new_kf = self._need_new_kf(n_in, int(tracked_close),
+                                   int(untracked_close), fid=rec["fid"])
+        if new_kf:
+            t_kf0 = _time.perf_counter()
+            loop_corrected = self._create_kf(
+                rec["fd"], kp2pt, rec["ts"], fid=rec["fid"],
+                pipelined=True)
+            m.t_kf = _time.perf_counter() - t_kf0
+            m.new_kf = True
+            if loop_corrected:
+                self._resync = True  # big pose jump: redo in-flight frame
+        self._last_kp2pt = kp2pt
+        self._log_frame(rec["ts"])
+        m.t_step = _time.perf_counter() - t0 - m.t_kf
+        self._finish_metrics(m)
         return self.T_cw.copy(), m
 
     # ------------------------------------------------------------------
@@ -492,6 +716,7 @@ class StereoTracker:
             self.vocabulary = Vocabulary.train(
                 feats["desc"][feats["valid"]], k=8, L=3, seed=0)
             self.loop_closer = LoopCloser(self.store, self.vocabulary, self.cfg)
+            self.mapper.on_kf_culled = self.loop_closer.db.erase
         if self.loop_closer is not None:
             self.loop_closer.process_keyframe(kf)
         self.state = TrackState.OK
@@ -674,12 +899,93 @@ class StereoTracker:
                 self.cam, jnp.asarray(s.pt_pos), jnp.asarray(kp2pt),
                 fd.feats, self._inv_sigma2_lut)
             T2, _, _, n_in = pose_opt.optimize_pose(self.cam, T, pobs)
-            if int(n_in) >= 10:
+            n_in = int(n_in)
+            if n_in < 10:
+                continue
+            # widen/narrow projection rounds to >= 50 inliers
+            # (Tracking.cc:1946-1983): local points around the candidate,
+            # wide window first, then a narrow confirmation pass
+            covis, _ = s.covisible_kfs(kf, min_shared=15, top=10)
+            kfs = np.concatenate([[kf], covis]).astype(np.int32)
+            pids = np.unique(s.kf_pt_ids[kfs])
+            pids = pids[pids >= 0]
+            pids = pids[s.pt_valid[pids]]
+            for th in (2.5, 0.75):  # ~10 px then ~3 px windows
+                if n_in >= 50:
+                    break
+                kp2pt_w = self._project_view_match(fd, pids, np.asarray(T2),
+                                                   th=th)
+                kp2pt = np.where(kp2pt >= 0, kp2pt, kp2pt_w)
+                pobs = _gather_pose_obs(
+                    self.cam, jnp.asarray(s.pt_pos), jnp.asarray(kp2pt),
+                    fd.feats, self._inv_sigma2_lut)
+                T2, _, _, n_in = pose_opt.optimize_pose(
+                    self.cam, jnp.asarray(np.asarray(T2)), pobs)
+                n_in = int(n_in)
+            if n_in >= 50:  # Tracking.cc:1983 accept gate
                 self.ref_kf = kf
                 self._refresh_local_view()
                 self._refresh_ref_matches()
                 return np.asarray(T2).astype(np.float32)
         return None
+
+    def _project_view_match(self, fd: FrameData, pids: np.ndarray,
+                            T_cw: np.ndarray, th: float,
+                            cap: int = 8192) -> np.ndarray:
+        """Project the given map points into the current frame and match
+        (SearchByProjection reloc variant, ORBmatcher.cc:1472). Returns
+        kp2pid (N,) global ids."""
+        s = self.store
+        pids = pids[-cap:]
+        P = len(pids)
+        pad = cap - P
+        view = matching.MapPointView(
+            pos=jnp.asarray(np.concatenate(
+                [s.pt_pos[pids], np.zeros((pad, 3), np.float32)])),
+            desc=jnp.asarray(np.concatenate(
+                [s.pt_desc[pids], np.zeros((pad, 8), np.uint32)])),
+            normal=jnp.asarray(np.concatenate(
+                [s.pt_normal[pids], np.zeros((pad, 3), np.float32)])),
+            min_dist=jnp.asarray(np.concatenate(
+                [s.pt_min_dist[pids], np.zeros(pad, np.float32)])),
+            max_dist=jnp.asarray(np.concatenate(
+                [s.pt_max_dist[pids], np.zeros(pad, np.float32)])),
+            valid=jnp.asarray(np.concatenate(
+                [np.ones(P, bool), np.zeros(pad, bool)])),
+        )
+        _, kp2pt, _, _ = matching.search_by_projection(
+            self.cam, jnp.asarray(T_cw.astype(np.float32)), view, fd.feats,
+            n_levels=self.orb.n_levels, scale=self.orb.scale, th=th)
+        kp2pt = np.asarray(kp2pt)
+        pid_arr = np.concatenate([pids, np.full(pad, -1, pids.dtype)])
+        return np.where(kp2pt >= 0, pid_arr[np.maximum(kp2pt, 0)],
+                        -1).astype(np.int32)
+
+    def _reset_full(self):
+        """Auto-reset when tracking is lost soon after initialization
+        (Tracking.cc:482-488 -> Tracking::Reset, Tracking.cc:2000-2046):
+        clear the map, database and trajectory bookkeeping, reinitialize."""
+        self.store = MapStore(self.cam, self.orb)
+        self.mapper = local_mapping.LocalMapper(
+            self.store, self.cfg, **self._mapper_kwargs)
+        if self.loop_closer is not None:
+            from ..loop.closing import LoopCloser
+            self.loop_closer = LoopCloser(self.store, self.vocabulary,
+                                          self.cfg)
+            self.mapper.on_kf_culled = self.loop_closer.db.erase
+        self.state = TrackState.NOT_INITIALIZED
+        self.T_cw = np.eye(4, dtype=np.float32)
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.ref_kf = -1
+        self.last_kf_frame = -1
+        self.logs.clear()
+        self._view = None
+        self._view_pid = None
+        self._pending = None
+        self._dev_T = None
+        self._resync = True
+        if self.enable_lines:
+            self._refresh_line_view()
 
     def _unpack(self, packed: np.ndarray):
         n = self.store.n_kp
@@ -693,7 +999,10 @@ class StereoTracker:
         in_frustum = packed[o:o + p].astype(bool)
         return (T_np, *[int(x) for x in scal], kp2last, kp2pt_l, ok, in_frustum)
 
-    def _track(self, fd: FrameData, timestamp: float, m: TrackMetrics):
+    def _track(self, fd: FrameData, timestamp: float, m: TrackMetrics,
+               fid: int | None = None):
+        if fid is None:
+            fid = self.frame_id
         if self.state == TrackState.LOST:
             T_reloc = self._attempt_reloc(fd)
             if T_reloc is not None:
@@ -749,6 +1058,11 @@ class StereoTracker:
         np.add.at(self.store.pt_found, kp2pt[kp2pt >= 0], 1)
 
         if n_in < self.cfg.tracking.min_track_inliers:
+            if self.store.n_kf <= 5 and not self.localization_only:
+                # lost right after initialization: full reset
+                # (Tracking.cc:482-488)
+                self._reset_full()
+                return
             self.state = TrackState.LOST
             self._has_velocity = False
             self._log_frame(timestamp, lost=True)
@@ -769,7 +1083,7 @@ class StereoTracker:
             )
             T3, det2ln, n_line = _line_step(
                 self.cam, jnp.asarray(T_np), *self._line_view, fl, pobs,
-                float(self.cfg.line.gamma), float(self.line_cfg.desc_thr))
+                float(self.cfg.line.gamma), float(self._md_gate))
             T_np = np.asarray(T3)
             det2ln = np.asarray(det2ln)
             det2ln_g = np.where(det2ln >= 0,
@@ -788,11 +1102,11 @@ class StereoTracker:
         #  System::ActivateLocalizationMode, System.cc:121-161)
         new_kf = (not self.localization_only) \
             and self._need_new_kf(n_in, int(tracked_close),
-                                  int(untracked_close))
+                                  int(untracked_close), fid=fid)
         if new_kf:
             import time as _time
             t0 = _time.perf_counter()
-            self._create_kf(fd, kp2pt, timestamp)
+            self._create_kf(fd, kp2pt, timestamp, fid=fid)
             m.t_kf = _time.perf_counter() - t0
             m.new_kf = True
         self._remember_frame(fd, kp2pt, dev_ptpos, dev_haspt,
@@ -802,27 +1116,39 @@ class StereoTracker:
     # ------------------------------------------------------------------
 
     def _need_new_kf(self, n_in: int, tracked_close: int,
-                     untracked_close: int) -> bool:
+                     untracked_close: int, fid: int | None = None) -> bool:
         """NeedNewKeyFrame (Tracking.cc:1223-1310), deterministic-schedule
         reduction: with the mapper always idle the decisive conditions are
         the 75% reference-ratio and the close-point deficit."""
+        if fid is None:
+            fid = self.frame_id
         if n_in <= 15:
+            return False
+        # the reference blocks insertion while LocalMapping is busy with the
+        # previous KF (Tracking.cc:1223-1310 c1b + InterruptBA); the
+        # deterministic analogue is a minimum inter-KF gap
+        if fid - self.last_kf_frame < max(
+                self.cfg.tracking.min_frames_between_kf, 2):
             return False
         ref_matches = self._ref_matches
         need_close = tracked_close < 100 and untracked_close > 70
-        too_old = self.frame_id - self.last_kf_frame >= \
+        too_old = fid - self.last_kf_frame >= \
             self.cfg.tracking.max_frames_between_kf
         weak = n_in < 0.75 * ref_matches
         return weak or need_close or too_old
 
-    def _create_kf(self, fd: FrameData, kp2pt: np.ndarray, timestamp: float):
+    def _create_kf(self, fd: FrameData, kp2pt: np.ndarray, timestamp: float,
+                   fid: int | None = None, pipelined: bool = False) -> bool:
         """CreateNewKeyFrame (Tracking.cc:1367-1444): insert KF, create
         close-depth points (all < ThDepth, or 100 nearest), then run the
-        deterministic local-mapping step."""
+        deterministic local-mapping step. Returns True when a loop closure
+        corrected the map (the pipelined caller must resync its pose chain)."""
+        if fid is None:
+            fid = self.frame_id
         s = self.store
         feats, depth = self._snapshot_np(fd)
         kf = s.add_keyframe(self.T_cw, feats, depth, kp2pt,
-                            self.frame_id, timestamp)
+                            fid, timestamp)
         # candidates: valid stereo depth, no existing association
         cand = np.nonzero((depth > 0) & feats["valid"] & (kp2pt < 0))[0]
         order = cand[np.argsort(depth[cand])]
@@ -842,16 +1168,18 @@ class StereoTracker:
             kp2pt[sel] = ids
         if self.enable_lines and self._cur_fl is not None:
             self._create_kf_lines(kf)
+        s.set_parent_from_covisibility(kf)
         self.ref_kf = kf
-        self.last_kf_frame = self.frame_id
+        self.last_kf_frame = fid
         import time as _time
         t0 = _time.perf_counter()
         # deterministic local-mapping step (replaces the LocalMapping thread)
         self.mapper.process_keyframe(kf)
         t1 = _time.perf_counter()
         # deterministic loop-closing step (replaces the LoopClosing thread)
+        corrected = False
         if self.loop_closer is not None:
-            self.loop_closer.process_keyframe(kf)
+            corrected = self.loop_closer.process_keyframe(kf)
         t2 = _time.perf_counter()
         # refresh current pose from the (BA/loop-)corrected KF pose
         self.T_cw = s.kf_pose[kf].copy()
@@ -862,6 +1190,7 @@ class StereoTracker:
         t3 = _time.perf_counter()
         self.kf_timings.append(
             dict(mapper=t1 - t0, loop=t2 - t1, view=t3 - t2))
+        return corrected
 
     def _create_kf_lines(self, kf: int):
         """Line half of keyframe creation: snapshot the frame's detections,
@@ -900,6 +1229,9 @@ class StereoTracker:
                            dw.astype(np.float32))
         s.retriangulate_lines()
         s.cull_lines()
+        # keep line descriptors distinctive as viewpoints accumulate
+        # (MapLine.cc:133-201)
+        s.update_line_descriptors()
 
     # ------------------------------------------------------------------
 

@@ -54,6 +54,12 @@ class MapStore:
 
         # keyframes
         self.kf_pose = np.zeros((max_kf, 4, 4), np.float32)  # T_cw
+        # spanning tree (KeyFrame::ChangeParent / UpdateConnections first
+        # link, KeyFrame.cc:394-404): parent KF id, -1 for the root. The
+        # essential graph optimizes over these + persisted loop edges
+        # (Optimizer.cc:1391-1654).
+        self.kf_parent = np.full(max_kf, -1, np.int32)
+        self.loop_edges: list[tuple[int, int]] = []
         self.kf_valid = np.zeros(max_kf, bool)
         self.kf_frame_id = np.full(max_kf, -1, np.int64)
         self.kf_timestamp = np.zeros(max_kf, np.float64)
@@ -414,6 +420,58 @@ class MapStore:
         med = np.where(mask, med, np.inf)
         best = np.argmin(med, axis=1)
         self.pt_desc[uniq] = descs[np.arange(len(uniq)), best]
+
+    def set_parent_from_covisibility(self, kf_id: int):
+        """Spanning-tree link: parent = the most-covisible earlier keyframe
+        (KeyFrame::UpdateConnections first-connection path,
+        KeyFrame.cc:394-404)."""
+        covis, counts = self.covisible_kfs(kf_id, min_shared=1)
+        earlier = covis[covis < kf_id]
+        if len(earlier):
+            self.kf_parent[kf_id] = int(earlier[0])
+        elif kf_id > 0:
+            self.kf_parent[kf_id] = kf_id - 1
+
+    def reparent_children(self, culled_kf: int):
+        """On KF culling, children adopt the culled KF's parent (simplified
+        from the reference's candidate search over covisible parents,
+        KeyFrame.cc:503-558 — divergence documented: grandparent adoption
+        keeps the tree connected with the same root)."""
+        parent = self.kf_parent[culled_kf]
+        kids = np.nonzero(self.kf_parent[: self.n_kf] == culled_kf)[0]
+        self.kf_parent[kids] = parent
+
+    def update_line_descriptors(self, ln_ids: np.ndarray | None = None,
+                                max_obs: int = 8):
+        """Distinctive line descriptor: the observation whose median L2
+        distance to the others is minimal (MapLine::
+        ComputeDistinctiveDescriptors, MapLine.cc:133-201), batched."""
+        K = self.n_kf
+        kf_idx, det_idx = np.nonzero(self.kf_ln_ids[:K] >= 0)
+        if len(kf_idx) == 0:
+            return
+        lids = self.kf_ln_ids[kf_idx, det_idx]
+        if ln_ids is not None:
+            keep = np.isin(lids, ln_ids)
+            kf_idx, det_idx, lids = kf_idx[keep], det_idx[keep], lids[keep]
+            if len(lids) == 0:
+                return
+        order = np.argsort(lids, kind="stable")
+        kf_idx, det_idx, lids = kf_idx[order], det_idx[order], lids[order]
+        uniq, starts, counts = np.unique(lids, return_index=True,
+                                         return_counts=True)
+        M = int(min(max_obs, counts.max()))
+        take = np.minimum(np.arange(M)[None, :], counts[:, None] - 1)
+        gi = starts[:, None] + take
+        descs = self.kf_ln_desc[kf_idx[gi], det_idx[gi]]   # (n, M, D)
+        mask = np.arange(M)[None, :] < counts[:, None]
+        d = np.linalg.norm(descs[:, :, None, :] - descs[:, None, :, :],
+                           axis=-1)
+        d = np.where(mask[:, None, :], d, np.nan)
+        med = np.nanmedian(d, axis=2)
+        med = np.where(mask, med, np.inf)
+        best = np.argmin(med, axis=1)
+        self.ln_desc[uniq] = descs[np.arange(len(uniq)), best]
 
     def covisible_kfs(self, kf_id: int, min_shared: int = 15, top: int | None = None):
         """Keyframes sharing >= min_shared map points with kf_id, sorted by

@@ -17,19 +17,53 @@ from .io import trajectory as traj
 from .pipeline.tracker import StereoTracker, TrackState
 
 
+_VOC_CACHE: list = []
+
+
+def _default_vocabulary():
+    """Load (once per process) the shipped vocabulary, or None if absent."""
+    if not _VOC_CACHE:
+        p = Path(__file__).parent / "loop" / "vocab_synth.npz"
+        if p.exists():
+            from .loop.bow import Vocabulary
+            _VOC_CACHE.append(Vocabulary.load_npz(p))
+        else:
+            _VOC_CACHE.append(None)
+    return _VOC_CACHE[0]
+
+
 class System:
     def __init__(self, cfg: SlamConfig | str | Path, sequence: str | None = None,
-                 vocabulary=None, enable_loops: bool = True):
+                 vocabulary=None, enable_loops: bool = True,
+                 pipeline: bool = False):
         """vocabulary: loop/bow.Vocabulary, a path to an ORBvoc.txt-format
-        file, or None (a vocabulary is trained from the first keyframe)."""
+        file, or None (a vocabulary is trained from the first keyframe).
+
+        pipeline=True enables the finalize-lag-1 pipelined tracker: frame
+        i+1's device program is dispatched before frame i's results reach
+        the host (the deterministic analogue of the reference's
+        tracking/LocalMapping thread overlap). track_stereo then returns the
+        PREVIOUS frame's finalized (pose, metrics) — (current pose estimate,
+        None) for the very first frame — and flush() finalizes the last
+        in-flight frame at sequence end."""
         if not isinstance(cfg, SlamConfig):
             cfg = load_config(cfg, sequence=sequence)
         self.cfg = cfg
+        self.pipeline = pipeline
         if isinstance(vocabulary, (str, Path)):
             from .loop.bow import Vocabulary
-            vocabulary = Vocabulary.load_text(vocabulary)
+            p = Path(vocabulary)
+            vocabulary = (Vocabulary.load_npz(p) if p.suffix == ".npz"
+                          else Vocabulary.load_text(p))
+        elif vocabulary is None and enable_loops:
+            # default: the shipped ~10^5-word vocabulary (trained offline by
+            # tools/train_vocab.py — the counterpart of the reference's
+            # ORBvoc.txt load, System.cc:70). Falls back to the
+            # first-keyframe-trained mini vocab if the file is absent.
+            vocabulary = _default_vocabulary()
         self.tracker = StereoTracker(cfg, vocabulary=vocabulary,
-                                     enable_loops=enable_loops)
+                                     enable_loops=enable_loops,
+                                     pipeline=pipeline)
 
     def warmup(self) -> None:
         """Pre-compile the rare-path loop-closure programs (Sim3 RANSAC,
@@ -56,6 +90,10 @@ class System:
         """Monocular input (System::TrackMonocular, System.cc:228-260):
         H/F bootstrap, scale-free map."""
         return self.tracker.process_mono(img, timestamp)
+
+    def flush(self):
+        """Finalize the in-flight pipelined frame (no-op in sync mode)."""
+        return self.tracker.flush()
 
     @property
     def state(self) -> TrackState:
@@ -100,7 +138,8 @@ class System:
         (Tracking::Reset, Tracking.cc:2000-2046)."""
         self.tracker = StereoTracker(
             self.cfg, vocabulary=self.tracker.vocabulary,
-            enable_loops=self.tracker.enable_loops)
+            enable_loops=self.tracker.enable_loops,
+            pipeline=self.pipeline)
 
     # -- map persistence (the reference's SaveMap/LoadMap TODO,
     #    System.h:118-120) -------------------------------------------------

@@ -1,0 +1,77 @@
+"""Pipelined (finalize-lag-1) tracker: equivalence with the synchronous
+schedule on a synthetic stereo sequence."""
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from lldslam_tpu.config import CameraConfig, SlamConfig, TrackingConfig
+from lldslam_tpu.ops.orb import OrbConfig
+from lldslam_tpu.system import System
+
+
+def _cfg():
+    cam_cfg = CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=120.0,
+                           bf=200.0, fps=10.0, width=640, height=240)
+    return SlamConfig(camera=cam_cfg, orb=OrbConfig(n_features=600),
+                      tracking=TrackingConfig(min_init_points=80))
+
+
+def _frames(cfg, n):
+    from bench import _make_sequence
+    return _make_sequence(cfg.camera.stereo_camera(), n, n_pts=2500, seed=3)
+
+
+@pytest.mark.slow
+def test_pipelined_matches_sync():
+    cfg = _cfg()
+    frames = _frames(cfg, 18)
+
+    sync = System(cfg, enable_loops=False)
+    for i, (l, r) in enumerate(frames):
+        sync.track_stereo(l, r, timestamp=i * 0.1)
+    ts_s, T_s = sync.tracker.trajectory()
+
+    pipe = System(cfg, enable_loops=False, pipeline=True)
+    rets = []
+    for i, (l, r) in enumerate(frames):
+        rets.append(pipe.track_stereo(l, r, timestamp=i * 0.1))
+    pipe.flush()
+    ts_p, T_p = pipe.tracker.trajectory()
+
+    assert len(ts_p) == len(ts_s) == len(frames)
+    assert pipe.tracker.state.name == "OK"
+    # identical camera path up to the (1-frame-lag) map-update schedule:
+    # positions must agree to ~decimeter on a ~17 m path
+    dp = np.linalg.norm(T_p[:, :3, 3] - T_s[:, :3, 3], axis=-1)
+    assert dp.max() < 0.12, dp.max()
+    # every frame got finalized exactly once, in order
+    fids = [m.frame_id for m in pipe.tracker.metrics]
+    assert fids == sorted(fids)
+    # frame 0 initializes synchronously; frame 1 is the first pipelined
+    # dispatch (nothing finalized yet); from frame 2 on, each call returns
+    # the PREVIOUS frame's finalized metrics
+    assert rets[0][1] is not None and rets[0][1].frame_id == 0
+    assert rets[1][1] is None
+    assert rets[2][1] is not None and rets[2][1].frame_id == 1
+
+
+@pytest.mark.slow
+def test_pipelined_blackout_recovers():
+    """A black frame mid-sequence must drop to LOST via the resync path and
+    recover without crashing or corrupting the trajectory length."""
+    cfg = _cfg()
+    frames = _frames(cfg, 14)
+    pipe = System(cfg, enable_loops=False, pipeline=True)
+    blk = np.zeros_like(frames[0][0])
+    seq = frames[:8] + [(blk, blk)] + frames[8:]
+    for i, (l, r) in enumerate(seq):
+        T, m = pipe.track_stereo(l, r, timestamp=i * 0.1)
+        assert np.isfinite(T).all()
+    pipe.flush()
+    assert len(pipe.tracker.metrics) == len(seq)
+    states = [m.state for m in pipe.tracker.metrics]
+    assert "LOST" in states            # the blackout was detected
+    assert states[-1] == "OK"          # and tracking recovered

@@ -24,15 +24,18 @@ def test_relocalization_after_blackout():
 
     gt = []
     T = np.eye(4, dtype=np.float32)
-    for i in range(14):
+    for i in range(34):
         gt.append(T.copy())
         xi = np.array([0.0, 0.0, -0.25, 0.0, 0.004, 0.0], np.float32)
         T = np.asarray(se3.exp(jnp.asarray(xi)) @ jnp.asarray(T))
 
-    for i in range(10):
+    for i in range(28):
         imL, imR = _render(cam, gt[i], pts, patches)
         _, m = sys.track_stereo(imL, imR, timestamp=i * 0.1)
         assert m.state == "OK"
+    # the auto-reset path (Tracking.cc:482-488) must NOT fire: the map has
+    # grown past 5 keyframes by now
+    assert sys.map.n_kf > 5
 
     # blackout: featureless frames -> LOST
     blank = np.full((H, W), 15.0, np.float32)
