@@ -545,7 +545,8 @@ class StereoTracker:
         return self.T_cw.copy(), m
 
     def _finish_metrics(self, m: TrackMetrics):
-        m.state = self.state.name
+        if not m.state:  # a reset path may have recorded LOST already
+            m.state = self.state.name
         m.n_points = int(self.store.pt_valid.sum())
         m.n_kfs = self.store.n_kf
         m.n_lines = int(self.store.ln_valid.sum())
@@ -611,7 +612,12 @@ class StereoTracker:
             # predecessor was itself finalized synchronously, so _last_*
             # already hold ITS corrected state — do not restore rec["prev"],
             # which still points at the poisoned device chain.
-            self._track(rec["fd"], rec["ts"], m, fid=rec["fid"])
+            if self.state == TrackState.NOT_INITIALIZED:
+                # a full reset happened while this frame was in flight
+                # (Tracking.cc:482-488): it becomes the reinit candidate
+                self._initialize(rec["fd"], rec["ts"], m, fid=rec["fid"])
+            else:
+                self._track(rec["fd"], rec["ts"], m, fid=rec["fid"])
             m.t_step = _time.perf_counter() - t0 - m.t_kf
             self._finish_metrics(m)
             return self.T_cw.copy(), m
@@ -682,10 +688,13 @@ class StereoTracker:
         buf = np.asarray(pack_frame(fd))
         return unpack_frame_np(buf, self.store.n_kp)
 
-    def _initialize(self, fd: FrameData, timestamp: float, m: TrackMetrics):
+    def _initialize(self, fd: FrameData, timestamp: float, m: TrackMetrics,
+                    fid: int | None = None):
         """StereoInitialization (Tracking.cc:520-556): all stereo-depth'd
         keypoints become map points, the frame becomes KF 0 at identity.
         Monocular input dispatches to the H/F bootstrap instead."""
+        if fid is None:
+            fid = self.frame_id
         if self._mono:
             return self._initialize_mono(fd, timestamp, m)
         feats, depth = self._snapshot_np(fd)
@@ -695,7 +704,7 @@ class StereoTracker:
         T0 = np.eye(4, dtype=np.float32)
         kf = self.store.add_keyframe(
             T0, feats, depth, np.full(self.store.n_kp, -1, np.int32),
-            self.frame_id, timestamp)
+            fid, timestamp)
         good = np.nonzero((depth > 0) & feats["valid"])[0]
         uv = feats["xy"][good]
         z = depth[good]
@@ -709,7 +718,7 @@ class StereoTracker:
         self.T_cw = T0
         self.velocity = np.eye(4, dtype=np.float32)
         self.ref_kf = kf
-        self.last_kf_frame = self.frame_id
+        self.last_kf_frame = fid
         if self.enable_loops and self.loop_closer is None:
             from ..loop.bow import Vocabulary
             from ..loop.closing import LoopCloser
@@ -981,7 +990,10 @@ class StereoTracker:
         self.logs.clear()
         self._view = None
         self._view_pid = None
-        self._pending = None
+        # NOTE: self._pending is kept — the in-flight pipelined frame must
+        # still be finalized (it reinitializes the fresh map via the
+        # _finalize_rec resync path); dropping it here lost its metrics
+        # and broke the one-finalize-per-frame invariant.
         self._dev_T = None
         self._resync = True
         if self.enable_lines:
@@ -1060,7 +1072,9 @@ class StereoTracker:
         if n_in < self.cfg.tracking.min_track_inliers:
             if self.store.n_kf <= 5 and not self.localization_only:
                 # lost right after initialization: full reset
-                # (Tracking.cc:482-488)
+                # (Tracking.cc:482-488). The frame itself was LOST — the
+                # reset to NOT_INITIALIZED is what happens next.
+                m.state = TrackState.LOST.name
                 self._reset_full()
                 return
             self.state = TrackState.LOST

@@ -62,19 +62,21 @@ def _camera():
 
 
 def time_solve(problem, mesh, iters, cam):
+    """Landmark-sharded shard_map solve (parallel/dist_schur.py): landmarks,
+    observations and the landmark marginalization are partitioned over the
+    mesh; only the reduced camera system crosses shards (one psum per CG
+    matvec). The 1-device mesh is the degenerate baseline."""
     import jax
-    from lldslam_tpu.optim import ba
-    from lldslam_tpu.parallel import sharded_ba
+    from lldslam_tpu.parallel import dist_schur
 
-    if mesh is not None:
-        problem = sharded_ba.shard_problem(problem, mesh)
-    solved, chi2 = ba.ba_solve(cam, problem, iters=2, dense=False,
-                               cg_iters=24)  # compile + warm
-    jax.block_until_ready(chi2)
+    n = len(mesh.devices.flat)
+    dp, _ = dist_schur.make_dist_problem(problem, n)
+    dp = dist_schur.place(dp, mesh)
+    out = dist_schur.dist_ba_solve(cam, dp, mesh, iters=2, cg_iters=24)
+    jax.block_until_ready(out)  # compile + warm
     t0 = time.perf_counter()
-    solved, chi2 = ba.ba_solve(cam, problem, iters=iters, dense=False,
-                               cg_iters=24)
-    jax.block_until_ready(chi2)
+    out = dist_schur.dist_ba_solve(cam, dp, mesh, iters=iters, cg_iters=24)
+    jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -86,17 +88,17 @@ def main():
     args = ap.parse_args()
 
     import jax
-    from lldslam_tpu.parallel import sharded_ba
+    from lldslam_tpu.parallel import dist_schur
 
     devs = jax.devices()
     n = args.devices or len(devs)
     cam = _camera()
     problem = build_problem(K=args.kfs)
 
-    t1 = time_solve(problem, sharded_ba.make_mesh(1), args.iters, cam)
+    t1 = time_solve(problem, dist_schur.make_mesh(1), args.iters, cam)
     tn = t1
     if n > 1:
-        tn = time_solve(problem, sharded_ba.make_mesh(n), args.iters, cam)
+        tn = time_solve(problem, dist_schur.make_mesh(n), args.iters, cam)
     eff = t1 / (tn * n) if n > 1 else 1.0
     simulated = devs[0].platform == "cpu"
     print(json.dumps({
