@@ -102,16 +102,27 @@ def unpack_frame_np(buf: np.ndarray, n: int):
     return feats, depth
 
 
-@partial(jax.jit, static_argnames=("cam", "cfg"))
 def build_frame(
     img_l: jnp.ndarray,
     img_r: jnp.ndarray,
     cam: StereoCamera,
     cfg: orb.OrbConfig = orb.OrbConfig(),
 ) -> FrameData:
+    """Compatibility wrapper over `build_frame_pair` for separate L/R
+    arrays; prefer staging ONE stacked (2, H, W) upload per frame."""
+    return build_frame_pair(jnp.stack([jnp.asarray(img_l),
+                                       jnp.asarray(img_r)]), cam, cfg)
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg"))
+def build_frame_pair(
+    pair: jnp.ndarray,                  # (2, H, W) uint8/float stacked L,R
+    cam: StereoCamera,
+    cfg: orb.OrbConfig = orb.OrbConfig(),
+) -> FrameData:
     # accept uint8 frames: callers upload 1 byte/px through the (slow)
     # host->device link and the cast runs on device
-    stack = jnp.stack([img_l, img_r]).astype(jnp.float32)     # (2, H, W)
+    stack = pair.astype(jnp.float32)                          # (2, H, W)
     # ONE pyramid program for both views, shared with the stereo SAD
     # refinement; extraction vmapped over the pair (the reference forks two
     # threads here, Frame.cc:101-104 — batching is the TPU equivalent)

@@ -353,7 +353,10 @@ class Vocabulary:
 
     def bow_vector(self, descs: np.ndarray, valid: np.ndarray | None = None):
         """(word_ids sorted unique, l1-normalized tf-idf values)."""
-        words = self.transform_words(descs, valid)
+        return self.vector_from_words(self.transform_words(descs, valid))
+
+    def vector_from_words(self, words: np.ndarray):
+        """tf-idf aggregation of per-descriptor word ids (-1 = invalid)."""
         words = words[words >= 0]
         ids, counts = np.unique(words, return_counts=True)
         vals = counts.astype(np.float32) * self.word_weight[ids]

@@ -85,6 +85,25 @@ class LoopCloser:
         valid = s.kf_kp_valid[kf_id]
         return self.voc.bow_vector(s.kf_desc[kf_id], valid)
 
+    def dispatch_bow(self, desc_dev, valid_dev):
+        """Dispatch the batched vocabulary descent on the keyframe's
+        device-resident descriptors (zero upload — the descriptors were
+        computed on device; round-2 re-uploaded them per KF). Absorb with
+        `finish_keyframe`."""
+        import jax.numpy as jnp
+        from .bow import _descend
+        ch, nd, nw = self.voc.device_arrays()
+        words = _descend(ch, nd, nw, desc_dev, self.voc.L)
+        words = jnp.where(valid_dev, words, -1)
+        words.copy_to_host_async()
+        return words
+
+    def finish_keyframe(self, kf_id: int, words: "np.ndarray") -> bool:
+        """Staged second half of process_keyframe: detection + (rare)
+        Sim3/correction from pre-computed word ids."""
+        ids, vals = self.voc.vector_from_words(words)
+        return self._finish(kf_id, ids, vals)
+
     def process_keyframe(self, kf_id: int) -> bool:
         """Run the loop pipeline for a new keyframe. Returns True when a loop
         was detected and the map corrected."""
@@ -92,6 +111,14 @@ class LoopCloser:
         t = _time.perf_counter
         t0 = t()
         ids, vals = self._kf_bow(kf_id)
+        t1 = t()
+        self.stage_times["bow"] = self.stage_times.get("bow", 0.0) \
+            + (t1 - t0)
+        return self._finish(kf_id, ids, vals)
+
+    def _finish(self, kf_id: int, ids, vals) -> bool:
+        import time as _time
+        t = _time.perf_counter
         t1 = t()
         candidate = self._detect(kf_id, ids, vals)
         t2 = t()
@@ -108,8 +135,7 @@ class LoopCloser:
         t3 = t()
         self.db.add(kf_id, ids, vals)
         st = self.stage_times
-        for k, v in (("bow", t1 - t0), ("detect", t2 - t1),
-                     ("sim3+correct", t3 - t2)):
+        for k, v in (("detect", t2 - t1), ("sim3+correct", t3 - t2)):
             st[k] = st.get(k, 0.0) + v
         st["n"] = st.get("n", 0) + 1
         return corrected

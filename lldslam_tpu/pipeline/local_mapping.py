@@ -1,30 +1,52 @@
 """Deterministic local mapping: the keyframe-rate map update + local BA.
 
 Replaces the LocalMapping thread (`LocalMapping::Run`,
-reference src/LocalMapping.cc:48-113) with a synchronous step invoked by the
-tracker at keyframe creation:
+reference src/LocalMapping.cc:48-113) with a staged, deterministic step:
 
     recent-point culling (MapPointCulling, LocalMapping.cc:171-206)
+    -> epipolar triangulation + duplicate fusion (one device program,
+       CreateNewMapPoints + SearchInNeighbors, LocalMapping.cc:208-554)
     -> local bundle adjustment (Optimizer::LocalBundleAdjustment,
        Optimizer.cc:936-1388) as batched GN + dense Schur on device
-    -> outlier observation erasure (Optimizer.cc:1336-1358).
+    -> outlier observation erasure (Optimizer.cc:1336-1358)
+    -> keyframe culling (KeyFrameCulling, LocalMapping.cc:633-759).
+
+The stages are exposed as dispatch/absorb pairs so the pipelined tracker can
+overlap the device work with subsequent frame tracking — the deterministic
+analogue of the reference's LocalMapping-thread/tracking-thread overlap:
+
+    finalize(f):   keyframe created -> dispatch triangulate+fuse
+    finalize(f+1): absorb tri/fuse -> dispatch BA (+ on-device view build)
+    finalize(f+2): absorb BA -> keyframe culling
+
+`process_keyframe` runs all stages back-to-back for the synchronous path.
 
 The BA window mirrors the reference: the new KF + its covisible KFs are free,
 every other KF observing a window point is a fixed anchor
 (Optimizer.cc:988-1018). All problem arrays are padded to fixed capacities so
-the solver compiles exactly once.
+the solver compiles once per size bucket.
+
+Divergence from the reference's stage ordering (documented): fusion is
+dispatched TOGETHER with triangulation, so it projects this keyframe's
+pre-triangulation points into the neighbors; points created by the
+triangulation stage reach fusion at the NEXT keyframe. The reference fuses
+after triangulating (LocalMapping.cc:58-80); batching both into one dispatch
+removes a full host->device round trip from the keyframe path.
 """
 from __future__ import annotations
 
 from collections import deque
 from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import SlamConfig
 from ..optim import ba
 from ..slammap.map_store import MapStore
+from . import mapper_fast
+from .kf_cache import KfCache
 
 
 class LocalMapper:
@@ -39,6 +61,7 @@ class LocalMapper:
         l_cap: int = 512,
         lo_cap: int = 2048,
         ba_interval: int = 1,
+        cache: KfCache | None = None,
     ):
         self.store = store
         self.cfg = cfg
@@ -64,21 +87,71 @@ class LocalMapper:
         self._inv_sigma2 = np.power(
             1.0 / store.cfg.scale ** 2, np.arange(store.cfg.n_levels)
         ).astype(np.float32)
+        self._lut_dev = jnp.asarray(self._inv_sigma2)
         self._kf_count = 0
         # invoked with the culled KF id (tracker wires KeyFrameDatabase.erase
         # here — the reference erases at KeyFrame.cc:567)
         self.on_kf_culled = None
         self.stage_times: dict[str, float] = {}
+        # device-resident keyframe feature cache shared with the tracker
+        self.cache = cache or KfCache(n_slots=32, n_kp=store.n_kp)
+        self._stage_layout = mapper_fast.KfStageLayout(n_kp=store.n_kp)
+        # pending staged work (pipelined mode)
+        self._pending_kf: dict | None = None
+        self._pending_ba: dict | None = None
 
     # ------------------------------------------------------------------
 
+    def cache_frame(self, kf_id: int, feats) -> int:
+        """Register a new keyframe's device feature arrays in the cache."""
+        return self.cache.put(kf_id, feats)
+
+    def ensure_cached(self, kf_ids) -> np.ndarray:
+        """Slots for the given keyframes, uploading any evicted ones from
+        the host store (one packed transfer per missing KF — rare: only old
+        keyframes re-entering a window after a loop)."""
+        slots = self.cache.slots_of(kf_ids)
+        for i, kf in enumerate(kf_ids):
+            if slots[i] < 0:
+                buf = jax.device_put(mapper_fast.pack_kf_feats(
+                    self.store, int(kf)))
+                feats = mapper_fast.unpack_kf_feats(buf, self.store.n_kp)
+                slots[i] = self.cache.put(int(kf), feats)
+        return slots
+
     def warmup(self):
-        """Pre-compile the local-BA program at every point-capacity bucket
-        (the bucket grows as the map grows; each growth would otherwise pay
-        a ~15-25 s remote compile mid-sequence)."""
+        """Pre-compile the KF-stage and BA programs at every point-capacity
+        bucket (the bucket grows as the map grows; each growth would
+        otherwise pay a ~15-25 s remote compile mid-sequence)."""
+        s = self.store
+        N = s.n_kp
+        lay = self._stage_layout
+        buf = jax.device_put(np.zeros(lay.offsets["_total"], np.int32))
+        out = mapper_fast.kf_stage_cached(
+            self.cam, lay, self.cache.arrays, buf, self._lut_dev,
+            s.cfg.n_levels, s.cfg.scale)
+        jax.block_until_ready(out)
+        if self.enable_lines:
+            self._warmup_lines()
+            return
+        for P in self.p_buckets:
+            for tv in ((2048,) if P <= 2048 else (2048, 4096)):
+                bl = mapper_fast.BaLayout(
+                    k_cap=self.k_cap, p_bkt=P, o_bkt=self._o_bkt(P),
+                    tv_cap=tv, n_kp=N)
+                bbuf = jax.device_put(
+                    np.zeros(bl.offsets["_total"], np.int32))
+                out = mapper_fast.ba_view_cached(
+                    self.cam, bl, self.cache.arrays, bbuf, self._lut_dev)
+                jax.block_until_ready(out)
+
+    def _warmup_lines(self):
+        """Joint point+line BA warmup per bucket (line-enabled runs use the
+        joint program on the legacy upload path)."""
         rng = np.random.default_rng(0)
         cam = self.cam
         K = self.k_cap
+        from ..optim import lines_ba
         for P in self.p_buckets:
             O = 3 * P
             poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
@@ -103,125 +176,140 @@ class LocalMapper:
                     inv_sigma2=jnp.ones(O, jnp.float32),
                     is_stereo=jnp.ones(O, bool),
                     valid=jnp.asarray(np.arange(O) < O // 2)))
-            if self.enable_lines:
-                # line-enabled runs use the joint program, not the
-                # points-only one: warm that executable per bucket
-                from ..optim import lines_ba
-                LC, LO = self.l_cap, self.lo_cap
-                q = np.zeros((LC, 4), np.float32)
-                q[:, 0] = 1.0
-                lobs = lines_ba.LineBAObs(
-                    k=jnp.zeros(LO, jnp.int32),
-                    l=jnp.asarray(rng.integers(0, LC, LO).astype(np.int32)),
-                    x1l=jnp.asarray(rng.uniform(50, 300, (LO, 2)).astype(np.float32)),
-                    x2l=jnp.asarray(rng.uniform(50, 300, (LO, 2)).astype(np.float32)),
-                    x1r=jnp.asarray(rng.uniform(50, 300, (LO, 2)).astype(np.float32)),
-                    x2r=jnp.asarray(rng.uniform(50, 300, (LO, 2)).astype(np.float32)),
-                    octave=jnp.zeros(LO, jnp.int32),
-                    has_r=jnp.ones(LO, bool),
-                    valid=jnp.asarray(np.arange(LO) < 8),
-                )
-                joint = lines_ba.JointProblem(
-                    base=problem, q=jnp.asarray(q),
-                    alpha=jnp.ones(LC, jnp.float32),
-                    line_valid=jnp.asarray(np.arange(LC) < 8), lobs=lobs)
-                np.asarray(lines_ba.local_joint_ba_packed(
-                    cam, joint, float(self.cfg.line.gamma)))
-            else:
-                np.asarray(ba.local_ba_packed(cam, problem))
+            LC, LO = self.l_cap, self.lo_cap
+            q = np.zeros((LC, 4), np.float32)
+            q[:, 0] = 1.0
+            lobs = lines_ba.LineBAObs(
+                k=jnp.zeros(LO, jnp.int32),
+                l=jnp.asarray(rng.integers(0, LC, LO).astype(np.int32)),
+                x1l=jnp.asarray(rng.uniform(50, 300, (LO, 2)).astype(np.float32)),
+                x2l=jnp.asarray(rng.uniform(50, 300, (LO, 2)).astype(np.float32)),
+                x1r=jnp.asarray(rng.uniform(50, 300, (LO, 2)).astype(np.float32)),
+                x2r=jnp.asarray(rng.uniform(50, 300, (LO, 2)).astype(np.float32)),
+                octave=jnp.zeros(LO, jnp.int32),
+                has_r=jnp.ones(LO, bool),
+                valid=jnp.asarray(np.arange(LO) < 8),
+            )
+            joint = lines_ba.JointProblem(
+                base=problem, q=jnp.asarray(q),
+                alpha=jnp.ones(LC, jnp.float32),
+                line_valid=jnp.asarray(np.arange(LC) < 8), lobs=lobs)
+            np.asarray(lines_ba.local_joint_ba_packed(
+                cam, joint, float(self.cfg.line.gamma)))
 
     def note_created(self, kf_id: int, pt_ids: np.ndarray):
         self._recent.append((kf_id, np.asarray(pt_ids)))
 
+    # ------------------------------------------------------------------
+    # staged API (used by the pipelined tracker; process_keyframe chains
+    # them for the synchronous path)
+    # ------------------------------------------------------------------
+
+    @property
+    def busy(self) -> bool:
+        return self._pending_kf is not None or self._pending_ba is not None
+
+    def step_pending(self):
+        """Advance the staged pipeline by one absorb+dispatch (called once
+        per finalized frame by the pipelined tracker). Returns the new
+        device MapPointView when the BA stage was dispatched, else None."""
+        if self._pending_kf is not None:
+            kf_id = self._pending_kf["kf_id"]
+            self.absorb_kf_stage()
+            return self.dispatch_ba(kf_id)
+        if self._pending_ba is not None:
+            self.absorb_ba()
+        return None
+
+    def flush(self):
+        """Absorb all pending staged work synchronously."""
+        if self._pending_kf is not None:
+            kf_id = self._pending_kf["kf_id"]
+            self.absorb_kf_stage()
+            self.dispatch_ba(kf_id)
+        if self._pending_ba is not None:
+            self.absorb_ba()
+
     def process_keyframe(self, kf_id: int):
-        """The LocalMapping::Run loop body, deterministic
-        (LocalMapping.cc:53-113 order: process -> cull points -> create new
-        points -> fuse -> local BA -> cull keyframes)."""
+        """The LocalMapping::Run loop body, synchronous
+        (LocalMapping.cc:53-113 order). Returns the post-BA device
+        MapPointView for the tracker (or None when BA was skipped)."""
+        self.flush()
+        self.dispatch_kf_stage(kf_id)
+        self.absorb_kf_stage()
+        view = self.dispatch_ba(kf_id)
+        if self._pending_ba is not None:
+            self.absorb_ba()
+        return view
+
+    # ------------------------------------------------------------------
+
+    def dispatch_kf_stage(self, kf_id: int):
+        """Host-side culling + one packed upload + one device dispatch for
+        triangulation & fusion."""
         import time as _time
-        t = _time.perf_counter
+        t0 = _time.perf_counter()
         s = self.store
-        t0 = t()
         s.refresh_obs_counts()
         # newly created points of this KF enter the culling probation window
-        new_ids = s.kf_pt_ids[kf_id][(s.kf_pt_ids[kf_id] >= 0)
-                                     & (s.pt_first_kf[s.kf_pt_ids[kf_id].clip(0)] == kf_id)]
+        row = s.kf_pt_ids[kf_id]
+        new_ids = row[(row >= 0) & (s.pt_first_kf[row.clip(0)] == kf_id)]
         self.note_created(kf_id, new_ids)
         # probation culling over the recent window (LocalMapping.cc:171-206)
         for src_kf, ids in list(self._recent):
             if len(ids):
                 s.cull_points(ids, current_kf=kf_id)
-        t1 = t()
-        if s.n_kf >= 2:
-            tri_ids = self.create_new_points(kf_id)
-            if len(tri_ids):
-                self.note_created(kf_id, tri_ids)
-            t2 = t()
-            self.fuse_neighbors(kf_id)
-        else:
-            t2 = t()
-        t3 = t()
-        self._kf_count += 1
-        if s.n_kf >= 2 and self._kf_count % self.ba_interval == 0:
-            self.local_ba(kf_id)
-        t4 = t()
-        self.cull_keyframes(kf_id)
-        t5 = t()
-        st = self.stage_times
-        for k, v in (("cull_pts", t1 - t0), ("triangulate", t2 - t1),
-                     ("fuse", t3 - t2), ("ba", t4 - t3), ("cull_kf", t5 - t4)):
-            st[k] = st.get(k, 0.0) + v
-        st["n"] = st.get("n", 0) + 1
+        lay = self._stage_layout
+        covis, _ = s.covisible_kfs(kf_id, min_shared=15, top=10)
+        nbs_tri = [int(nb) for nb in covis[:lay.b1 - 1]]
+        n_tri = len(nbs_tri)
+        nbs_tri = nbs_tri + [kf_id] * (lay.b1 - 1 - n_tri)
+        nbs_fuse = [int(nb) for nb in covis[:lay.b2]]
+        n_fuse = len(nbs_fuse)
+        nbs_fuse = nbs_fuse + [kf_id] * (lay.b2 - n_fuse)
+        slots = self.ensure_cached([kf_id] + nbs_tri + nbs_fuse)
+        # fuse view: this KF's current points (SearchInNeighbors projects
+        # the new KF's points into the neighbors, LocalMapping.cc:470-504)
+        my = row[row >= 0]
+        pids = np.unique(my)
+        pids = pids[s.pt_valid[pids]][-lay.view_cap:]
+        buf_np = mapper_fast.pack_kf_stage(
+            lay, s, kf_id, slots[:lay.b1], nbs_tri,
+            slots[lay.b1:], nbs_fuse, n_tri, n_fuse, pids)
+        buf = jax.device_put(buf_np)
+        tri_bufs, fuse_bufs = mapper_fast.kf_stage_cached(
+            self.cam, lay, self.cache.arrays, buf, self._lut_dev,
+            s.cfg.n_levels, s.cfg.scale)
+        tri_bufs.copy_to_host_async()
+        fuse_bufs.copy_to_host_async()
+        self._pending_kf = dict(
+            kf_id=kf_id, tri=tri_bufs, fuse=fuse_bufs,
+            nbs_tri=nbs_tri[:n_tri], nbs_fuse=nbs_fuse[:n_fuse],
+            pid_arr=np.concatenate(
+                [pids, np.full(lay.view_cap - len(pids), -1, np.int64)]))
+        self.stage_times["dispatch_kf"] = self.stage_times.get(
+            "dispatch_kf", 0.0) + (_time.perf_counter() - t0)
 
-    # ------------------------------------------------------------------
-
-    def create_new_points(self, kf_id: int, n_neighbors: int = 10) -> np.ndarray:
-        """Epipolar triangulation of unmatched features against the best
-        covisible keyframes (CreateNewMapPoints, LocalMapping.cc:208-453).
-        Adds the far points stereo depth cannot provide. Returns new ids."""
-        import jax.numpy as jnp
-        from . import mapping_ops
-
+    def absorb_kf_stage(self):
+        """Write back triangulation + fusion results (host bookkeeping)."""
+        import time as _time
+        t0 = _time.perf_counter()
+        rec, self._pending_kf = self._pending_kf, None
         s = self.store
-        covis, _ = s.covisible_kfs(kf_id, min_shared=15, top=n_neighbors)
-        if len(covis) == 0:
-            return np.zeros(0, np.int32)
-        lut = jnp.asarray(self._inv_sigma2)
-        free1 = s.kf_kp_valid[kf_id] & (s.kf_pt_ids[kf_id] < 0)
+        kf_id = rec["kf_id"]
+        lay = self._stage_layout
+        tri_bufs = np.asarray(rec["tri"])
         created: list[int] = []
         claimed = np.zeros(s.n_kp, bool)
-        nbs = [int(nb) for nb in covis[:3]]  # best neighbors first
-        n_real = len(nbs)
-        # pad to a FIXED batch of 3 (self-pairs with an all-False free mask
-        # match nothing): a varying batch size is a new shape -> a fresh
-        # ~15 s remote compile mid-sequence
-        nbs = nbs + [kf_id] * (3 - n_real)
-        free2s = s.kf_kp_valid[nbs] & (s.kf_pt_ids[nbs] < 0)
-        free2s[n_real:] = False
-        # all neighbors in ONE batched device call; the greedy claim order
-        # (a feature triangulated against the best neighbor is no longer
-        # free for the next) is applied on host below, as the reference's
-        # sequential neighbor loop does (LocalMapping.cc:243+).
-        # Divergence (speed tradeoff): a left feature claimed by a better
-        # neighbor is dropped for later neighbors rather than letting them
-        # fall back to their second-best left feature, so dense-overlap
-        # scenes triangulate slightly fewer points than the sequential loop.
-        import time as _time
-        _t0 = _time.perf_counter()
-        bufs = np.asarray(mapping_ops.triangulate_pairs(
-            s.cam, jnp.asarray(s.kf_pose[kf_id]),
-            jnp.asarray(s.kf_xy[kf_id]), jnp.asarray(s.kf_desc[kf_id]),
-            jnp.asarray(s.kf_oct[kf_id]), jnp.asarray(free1),
-            jnp.asarray(s.kf_pose[nbs]), jnp.asarray(s.kf_xy[nbs]),
-            jnp.asarray(s.kf_desc[nbs]), jnp.asarray(s.kf_oct[nbs]),
-            jnp.asarray(free2s), lut))
-        self.stage_times["tri_dev"] = self.stage_times.get("tri_dev", 0.0) \
-            + (_time.perf_counter() - _t0)
-        for bi, nb in enumerate(nbs[:n_real]):
-            n_good, match, X = mapping_ops.unpack_triangulate_np(bufs[bi], s.n_kp)
+        from . import mapping_ops
+        for bi, nb in enumerate(rec["nbs_tri"]):
+            n_good, match, X = mapping_ops.unpack_triangulate_np(
+                tri_bufs[bi], s.n_kp)
             sel = np.nonzero((match >= 0) & ~claimed)[0]
             if len(sel) == 0:
                 continue
-            if s.n_pt + len(sel) > s.max_pt:
+            sel = sel[: s.room_for_points(len(sel))]
+            if len(sel) == 0:
                 break
             ids = s.create_points(kf_id, sel, X[sel])
             s.kf_pt_ids[nb, match[sel]] = ids  # second observation
@@ -229,65 +317,24 @@ class LocalMapper:
             claimed[sel] = True
             created.extend(ids.tolist())
         if created:
+            self.note_created(kf_id, np.asarray(created, np.int32))
             s.refresh_obs_counts()
-        return np.asarray(created, np.int32)
+        t1 = _time.perf_counter()
+        # fusion writeback (ORBmatcher::Fuse semantics)
+        fuse_bufs = np.asarray(rec["fuse"])
+        pid_arr = rec["pid_arr"]
+        self._fuse_writeback(fuse_bufs, pid_arr, rec["nbs_fuse"],
+                             lay.view_cap)
+        st = self.stage_times
+        st["triangulate"] = st.get("triangulate", 0.0) + (t1 - t0)
+        st["fuse"] = st.get("fuse", 0.0) + (_time.perf_counter() - t1)
+        st["n"] = st.get("n", 0) + 1
 
-    def fuse_neighbors(self, kf_id: int, n_neighbors: int = 5):
-        """Duplicate-point fusion with covisible keyframes
-        (SearchInNeighbors + ORBmatcher::Fuse, LocalMapping.cc:455-554):
-        project the new KF's points into each neighbor; a hit on a feature
-        holding another point merges the two (most-observed wins), a hit on
-        a free feature adds an observation."""
-        import jax.numpy as jnp
-        from ..frontend import matching
-        from . import mapping_ops
-
+    def _fuse_writeback(self, fuse_bufs, pid_arr, nbs_fuse, cap):
         s = self.store
-        covis, _ = s.covisible_kfs(kf_id, min_shared=15, top=n_neighbors)
-        my_pts = s.kf_pt_ids[kf_id]
-        pids = np.unique(my_pts[my_pts >= 0])
-        pids = pids[s.pt_valid[pids]]
-        if len(pids) == 0 or len(covis) == 0:
-            return
-        cap = 2048
-        pids = pids[-cap:]
-        pad = cap - len(pids)
-        view = matching.MapPointView(
-            pos=jnp.asarray(np.concatenate(
-                [s.pt_pos[pids], np.zeros((pad, 3), np.float32)])),
-            desc=jnp.asarray(np.concatenate(
-                [s.pt_desc[pids], np.zeros((pad, 8), np.uint32)])),
-            normal=jnp.asarray(np.concatenate(
-                [s.pt_normal[pids], np.zeros((pad, 3), np.float32)])),
-            min_dist=jnp.asarray(np.concatenate(
-                [s.pt_min_dist[pids], np.zeros(pad, np.float32)])),
-            max_dist=jnp.asarray(np.concatenate(
-                [s.pt_max_dist[pids], np.zeros(pad, np.float32)])),
-            valid=jnp.asarray(np.concatenate(
-                [np.ones(len(pids), bool), np.zeros(pad, bool)])),
-        )
-        pid_arr = np.concatenate([pids, np.full(pad, -1, np.int64)])
-        nbs = [int(nb) for nb in covis[:2]]
-        n_real = len(nbs)
-        nbs = nbs + [kf_id] * (2 - n_real)  # fixed batch (see triangulate)
-        valid2 = s.kf_kp_valid[nbs].copy()
-        valid2[n_real:] = False
-        feats_s = matching.FrameFeatures(
-            xy=jnp.asarray(s.kf_xy[nbs]), ur=jnp.asarray(s.kf_ur[nbs]),
-            octave=jnp.asarray(s.kf_oct[nbs]),
-            angle=jnp.asarray(s.kf_angle[nbs]),
-            desc=jnp.asarray(s.kf_desc[nbs]),
-            valid=jnp.asarray(valid2))
-        import time as _time
-        _t0 = _time.perf_counter()
-        bufs = np.asarray(mapping_ops.fuse_candidates_multi(
-            s.cam, jnp.asarray(s.kf_pose[nbs]), view, feats_s,
-            n_levels=s.cfg.n_levels, scale=s.cfg.scale))
-        self.stage_times["fuse_dev"] = self.stage_times.get("fuse_dev", 0.0) \
-            + (_time.perf_counter() - _t0)
         merged = False
-        for bi, nb in enumerate(nbs[:n_real]):
-            kp2pt = bufs[bi][cap:]
+        for bi, nb in enumerate(nbs_fuse):
+            kp2pt = fuse_bufs[bi][cap:]
             hit = np.nonzero(kp2pt >= 0)[0]
             row = s.kf_pt_ids[nb]
             # MapPoint::IsInKeyFrame guard (MapPoint.cc:396): never give one
@@ -309,7 +356,8 @@ class LocalMapper:
                     s.mark_obs_dirty()
                 elif s.pt_valid[q]:
                     # merge: most-observed point survives (MapPoint::Replace)
-                    keep, drop = (p, q) if s.pt_nobs[p] >= s.pt_nobs[q] else (q, p)
+                    keep, drop = (p, q) if s.pt_nobs[p] >= s.pt_nobs[q] \
+                        else (q, p)
                     K = s.n_kf
                     m = s.kf_pt_ids[:K] == drop
                     s.kf_pt_ids[:K][m] = keep
@@ -321,7 +369,8 @@ class LocalMapper:
             # keep the first slot per (KF, point) row-wise
             K = s.n_kf
             ids = s.kf_pt_ids[:K]
-            srt = np.sort(np.where(ids >= 0, ids, np.iinfo(np.int32).max), axis=1)
+            srt = np.sort(np.where(ids >= 0, ids, np.iinfo(np.int32).max),
+                          axis=1)
             has_dup = (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] >= 0) \
                 & (srt[:, 1:] != np.iinfo(np.int32).max)
             for k in np.nonzero(has_dup.any(axis=1))[0]:
@@ -335,6 +384,103 @@ class LocalMapper:
                         seen.add(v)
             s.mark_obs_dirty()
         s.refresh_obs_counts()
+
+    # ------------------------------------------------------------------
+
+    def _o_bkt(self, p_bkt: int) -> int:
+        return max(self.o_cap // self.p_cap, 1) * p_bkt
+
+    def dispatch_ba(self, kf_id: int):
+        """Build + dispatch the windowed BA with on-device view assembly.
+        Returns (view, view_pids) for the tracker, or None when BA is
+        skipped this keyframe."""
+        import time as _time
+        t0 = _time.perf_counter()
+        self._kf_count += 1
+        s = self.store
+        if self.enable_lines:
+            # joint point+line window BA (legacy synchronous path)
+            problem, meta = self._build_problem_legacy(kf_id)
+            if meta["n_obs"] >= 30 and len(meta["pts"]):
+                self._local_ba_joint(problem, meta)
+            self.cull_keyframes(kf_id)
+            return None
+        if s.n_kf < 2 or self._kf_count % self.ba_interval != 0:
+            self.cull_keyframes(kf_id)
+            return None
+        meta = self._build_problem_np(kf_id)
+        if meta is None:
+            self.cull_keyframes(kf_id)
+            return None
+        # tracking view selection (UpdateLocalPoints, Tracking.cc:1677-1724)
+        view_pids = self._select_view_pids(kf_id)
+        meta["tv_cap"] = 2048 if len(view_pids) <= 2048 else 4096
+        if len(view_pids) > meta["tv_cap"]:
+            self.stage_times["view_dropped"] = self.stage_times.get(
+                "view_dropped", 0) + (len(view_pids) - meta["tv_cap"])
+            view_pids = view_pids[-meta["tv_cap"]:]  # newest = visible
+        pt_lut = np.full(s.max_pt, -1, np.int32)
+        pt_lut[meta["pts"]] = np.arange(len(meta["pts"]), dtype=np.int32)
+        view_p_idx = pt_lut[view_pids]
+        slots = self.ensure_cached(meta["window"])
+        lay = mapper_fast.BaLayout(
+            k_cap=self.k_cap, p_bkt=meta["p_bkt"],
+            o_bkt=self._o_bkt(meta["p_bkt"]), tv_cap=meta["tv_cap"],
+            n_kp=s.n_kp)
+        buf_np = mapper_fast.pack_ba(
+            lay, s, meta["window"], slots, meta["n_free"], meta["pts"],
+            meta["okf"], meta["ofe"], meta["p_idx"], view_pids, view_p_idx)
+        buf = jax.device_put(buf_np)
+        result, view = mapper_fast.ba_view_cached(
+            self.cam, lay, self.cache.arrays, buf, self._lut_dev)
+        result.copy_to_host_async()
+        self._pending_ba = dict(result=result, meta=meta, kf_id=kf_id)
+        self.stage_times["dispatch_ba"] = self.stage_times.get(
+            "dispatch_ba", 0.0) + (_time.perf_counter() - t0)
+        vp = np.concatenate([
+            view_pids,
+            np.full(meta["tv_cap"] - len(view_pids), -1, np.int64)])
+        return view, vp
+
+    def absorb_ba(self):
+        """BA writeback + outlier erasure + keyframe culling."""
+        import time as _time
+        t0 = _time.perf_counter()
+        rec, self._pending_ba = self._pending_ba, None
+        s = self.store
+        meta = rec["meta"]
+        buf = np.asarray(rec["result"])
+        poses, points, keep = ba.unpack_local_ba_np(
+            buf, self.k_cap, meta["p_bkt"])
+        window, n_free, pts = meta["window"], meta["n_free"], meta["pts"]
+        s.kf_pose[window[:n_free]] = poses[:n_free]
+        s.pt_pos[pts] = points[: len(pts)]
+        # erase outlier observations (Optimizer.cc:1336-1358)
+        O = meta["n_obs"]
+        bad = ~keep[:O]
+        if bad.any():
+            s.kf_pt_ids[meta["kf_abs"][bad], meta["ofe"][bad]] = -1
+            s.mark_obs_dirty()
+            # points that lost every observation die
+            dead_cand = np.unique(pts[np.unique(meta["p_idx"][:O][bad])])
+            if len(dead_cand):
+                s.refresh_obs_counts()
+                s.remove_points(dead_cand[s.pt_nobs[dead_cand] == 0])
+        self.cull_keyframes(rec["kf_id"])
+        self.stage_times["ba"] = self.stage_times.get("ba", 0.0) \
+            + (_time.perf_counter() - t0)
+
+    def _select_view_pids(self, kf_id: int) -> np.ndarray:
+        """Local-map point ids for the tracker's view (the points of the
+        reference KF's covisibility neighborhood)."""
+        s = self.store
+        covis, _ = s.covisible_kfs(kf_id, min_shared=15, top=19)
+        local_kfs = np.concatenate([[kf_id], covis]).astype(np.int32)
+        ids = np.unique(s.kf_pt_ids[local_kfs])
+        ids = ids[ids >= 0]
+        return ids[s.pt_valid[ids]]
+
+    # ------------------------------------------------------------------
 
     def cull_keyframes(self, kf_id: int):
         """Redundant-KF culling (KeyFrameCulling, LocalMapping.cc:633-759):
@@ -374,8 +520,8 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
 
-    def _build_problem(self, kf_id: int):
-        """Assemble the padded BAProblem for the covisibility window."""
+    def _window_and_obs(self, kf_id: int):
+        """Shared window/observation-table assembly (numpy)."""
         s = self.store
         local, fixed, local_pts = s.local_window(kf_id, max_kf=self.k_local)
         if len(fixed) > self.k_fixed:
@@ -392,6 +538,8 @@ class LocalMapper:
         n_free = len(local)
         obs_ratio = max(self.o_cap // self.p_cap, 1)
         if len(local_pts) > self.p_buckets[-1]:
+            self.stage_times["ba_pts_dropped"] = self.stage_times.get(
+                "ba_pts_dropped", 0) + (len(local_pts) - self.p_buckets[-1])
             local_pts = local_pts[-self.p_buckets[-1]:]
         pts = local_pts.astype(np.int32)
 
@@ -434,15 +582,35 @@ class LocalMapper:
             keep = pt_lut[s.kf_pt_ids[window[okf], ofe]] >= 0
             okf, ofe = okf[keep], ofe[keep]
         if len(okf) > o_bkt:
+            self.stage_times["ba_obs_dropped"] = self.stage_times.get(
+                "ba_obs_dropped", 0) + (len(okf) - o_bkt)
             okf, ofe = okf[: o_bkt], ofe[: o_bkt]
         kf_abs = window[okf]
         p_idx = pt_lut[s.kf_pt_ids[kf_abs, ofe]]
+        return dict(window=window, n_free=n_free, pts=pts, p_bkt=p_bkt,
+                    okf=okf, ofe=ofe, kf_abs=kf_abs, p_idx=p_idx,
+                    n_obs=len(okf))
+
+    def _build_problem_np(self, kf_id: int):
+        meta = self._window_and_obs(kf_id)
+        if meta["n_obs"] < 30 or len(meta["pts"]) == 0:
+            return None
+        return meta
+
+    def _build_problem_legacy(self, kf_id: int):
+        """Assemble the padded BAProblem with full uploads (joint line BA
+        path; cited divergences as in _window_and_obs)."""
+        s = self.store
+        meta = self._window_and_obs(kf_id)
+        window = meta["window"]
+        okf, ofe, kf_abs = meta["okf"], meta["ofe"], meta["kf_abs"]
+        p_idx, pts, p_bkt = meta["p_idx"], meta["pts"], meta["p_bkt"]
+        o_bkt = self._o_bkt(p_bkt)
         uv = s.kf_xy[kf_abs, ofe]
         ur = s.kf_ur[kf_abs, ofe]
         uvr = np.concatenate([uv, ur[:, None]], -1).astype(np.float32)
         inv_s2 = self._inv_sigma2[s.kf_oct[kf_abs, ofe]]
         is_st = ur >= 0
-
         O = len(okf)
         K, P = self.k_cap, p_bkt
 
@@ -457,7 +625,7 @@ class LocalMapper:
         poses = padk(s.kf_pose[window])
         poses[len(window):] = np.eye(4, dtype=np.float32)
         pose_fixed = np.ones(K, bool)
-        pose_fixed[:n_free] = False
+        pose_fixed[: meta["n_free"]] = False
         points = np.concatenate(
             [s.pt_pos[pts], np.zeros((P - len(pts), 3), np.float32)])
         point_valid = np.concatenate(
@@ -477,14 +645,11 @@ class LocalMapper:
             point_valid=jnp.asarray(point_valid),
             obs=obs,
         )
-        meta = dict(window=window, n_free=n_free, pts=pts, p_bkt=p_bkt,
-                    okf=okf, ofe=ofe, kf_abs=kf_abs, p_idx=p_idx, n_obs=O)
         return problem, meta
 
     def _build_line_obs(self, window):
         """Line half of the BA window: lines seen by window KFs + padded
         observation table (lines_ba.LineBAObs)."""
-        import jax.numpy as jnp
         from ..geometry import lines as glines
         from ..optim import lines_ba
 
@@ -507,6 +672,9 @@ class LocalMapper:
         kf_abs = window[wk]
         l_idx = ln_lut[s.kf_ln_ids[kf_abs, wd]]
         O = min(len(wk), self.lo_cap)
+        if len(wk) > O:
+            self.stage_times["ln_obs_dropped"] = self.stage_times.get(
+                "ln_obs_dropped", 0) + (len(wk) - O)
         wk, wd, kf_abs, l_idx = wk[:O], wd[:O], kf_abs[:O], l_idx[:O]
 
         def pad(a, fill=0):
@@ -536,43 +704,10 @@ class LocalMapper:
         meta = dict(lids=lids, kf_abs=kf_abs, wd=wd, n_lobs=O)
         return q, alpha, jnp.asarray(line_valid), lobs, meta
 
-    def local_ba(self, kf_id: int):
-        """Run the windowed BA and write results back into the store."""
-        s = self.store
-        problem, meta = self._build_problem(kf_id)
-        if meta["n_obs"] < 30 or len(meta["pts"]) == 0:
-            return
-        if self.enable_lines:
-            self._local_ba_joint(problem, meta)
-            return
-        import time as _time
-        _t0 = _time.perf_counter()
-        buf = np.asarray(ba.local_ba_packed(self.cam, problem))
-        self.stage_times["ba_dev"] = self.stage_times.get("ba_dev", 0.0) \
-            + (_time.perf_counter() - _t0)
-        poses, points, keep = ba.unpack_local_ba_np(
-            buf, self.k_cap, meta["p_bkt"])
-
-        window, n_free, pts = meta["window"], meta["n_free"], meta["pts"]
-        s.kf_pose[window[:n_free]] = poses[:n_free]
-        s.pt_pos[pts] = points[: len(pts)]
-        # erase outlier observations (Optimizer.cc:1336-1358)
-        O = meta["n_obs"]
-        bad = ~keep[:O]
-        if bad.any():
-            s.kf_pt_ids[meta["kf_abs"][bad], meta["ofe"][bad]] = -1
-            s.mark_obs_dirty()
-            # points that lost every observation die
-            dead_cand = np.unique(pts[np.unique(meta["p_idx"][:O][bad])])
-            if len(dead_cand):
-                s.refresh_obs_counts()
-                s.remove_points(dead_cand[s.pt_nobs[dead_cand] == 0])
-
     def _local_ba_joint(self, problem, meta):
         """Joint point+line window BA (lines_ba.local_joint_ba) writeback."""
         from ..geometry import lines as glines
         from ..optim import lines_ba
-        import jax.numpy as jnp
 
         s = self.store
         window, n_free, pts = meta["window"], meta["n_free"], meta["pts"]
@@ -582,14 +717,17 @@ class LocalMapper:
         gamma = float(self.cfg.line.gamma)
         buf = np.asarray(lines_ba.local_joint_ba_packed(
             self.cam, joint, gamma))
-        poses, points, q2, a2, keep_p, keep_l = lines_ba.unpack_local_joint_np(
-            buf, self.k_cap, meta["p_bkt"], self.l_cap, 3 * meta["p_bkt"])
+        poses, points, q2, a2, keep_p, keep_l = \
+            lines_ba.unpack_local_joint_np(
+                buf, self.k_cap, meta["p_bkt"], self.l_cap,
+                3 * meta["p_bkt"])
 
         s.kf_pose[window[:n_free]] = poses[:n_free]
         s.pt_pos[pts] = points[: len(pts)]
         lids = lmeta["lids"]
         if len(lids):
-            X0, d = glines.x0dir_from_minimal(jnp.asarray(q2), jnp.asarray(a2))
+            X0, d = glines.x0dir_from_minimal(jnp.asarray(q2),
+                                              jnp.asarray(a2))
             X0 = np.asarray(X0)[: len(lids)]
             d = np.asarray(d)[: len(lids)]
             fin = np.isfinite(X0).all(-1) & np.isfinite(d).all(-1)

@@ -1,0 +1,349 @@
+"""Packed single-upload device kernels for the keyframe-rate mapping path.
+
+Round-2's mapper uploaded ~20 separate arrays per keyframe (features, poses,
+masks, views, BA problem pieces); on a tunneled TPU every host->device
+transfer costs ~27 ms of serialized channel latency, so the keyframe path
+burned ~0.5 s on transfers alone.  This module reduces the per-keyframe
+traffic to TWO uploads:
+
+1. the *KF-stage* buffer — poses/masks/fuse-view for epipolar triangulation
+   (CreateNewMapPoints, reference src/LocalMapping.cc:208-453) and duplicate
+   fusion (SearchInNeighbors, src/LocalMapping.cc:455-554), with per-KF
+   feature arrays gathered on device from the `KfCache` ring;
+2. the *BA* buffer — the padded windowed problem (LocalBundleAdjustment,
+   src/Optimizer.cc:936-1388) WITHOUT per-observation uvr/sigma (gathered
+   from the cache by (slot, feature) index), plus the tracker's next
+   local-map point view, which the BA program assembles ON DEVICE from the
+   solved points (UpdateLocalPoints, src/Tracking.cc:1677-1724 — the
+   reference's tracker reads the live map; here the post-BA view ships with
+   the BA program, so the tracker never re-uploads it).
+
+All buffers are single int32 arrays with static layouts; floats travel
+bitcast.  Layout objects compute offsets once per shape bucket.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..frontend import matching
+from ..geometry.camera import StereoCamera
+from . import mapping_ops
+from .kf_cache import CacheArrays
+
+
+def _bc_f(a: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(a, np.float32).reshape(-1).view(np.int32)
+
+
+def _bc_u(a: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(a, np.uint32).reshape(-1).view(np.int32)
+
+
+def _slice_f(buf, off, shape):
+    n = int(np.prod(shape))
+    return jax.lax.bitcast_convert_type(
+        jax.lax.dynamic_slice(buf, (off,), (n,)), jnp.float32).reshape(shape)
+
+
+def _slice_u(buf, off, shape):
+    n = int(np.prod(shape))
+    return jax.lax.bitcast_convert_type(
+        jax.lax.dynamic_slice(buf, (off,), (n,)), jnp.uint32).reshape(shape)
+
+
+def _slice_i(buf, off, shape):
+    n = int(np.prod(shape))
+    return jax.lax.dynamic_slice(buf, (off,), (n,)).reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# view packing (shared): MapPointView as one contiguous block
+# ---------------------------------------------------------------------------
+
+VIEW_INTS_PER_PT = 3 + 8 + 3 + 1 + 1 + 1  # pos desc normal mind maxd valid
+
+
+def pack_view(store, pids: np.ndarray, cap: int) -> np.ndarray:
+    """Pack a MapPointView over global point ids into one int32 block."""
+    P = len(pids)
+    pos = np.zeros((cap, 3), np.float32)
+    desc = np.zeros((cap, 8), np.uint32)
+    normal = np.zeros((cap, 3), np.float32)
+    mind = np.zeros(cap, np.float32)
+    maxd = np.zeros(cap, np.float32)
+    valid = np.zeros(cap, np.int32)
+    pos[:P] = store.pt_pos[pids]
+    desc[:P] = store.pt_desc[pids]
+    normal[:P] = store.pt_normal[pids]
+    mind[:P] = store.pt_min_dist[pids]
+    maxd[:P] = store.pt_max_dist[pids]
+    valid[:P] = 1
+    return np.concatenate([
+        _bc_f(pos), _bc_u(desc), _bc_f(normal), _bc_f(mind), _bc_f(maxd),
+        valid])
+
+
+def unpack_view(buf, off: int, cap: int) -> matching.MapPointView:
+    o = off
+    pos = _slice_f(buf, o, (cap, 3)); o += cap * 3
+    desc = _slice_u(buf, o, (cap, 8)); o += cap * 8
+    normal = _slice_f(buf, o, (cap, 3)); o += cap * 3
+    mind = _slice_f(buf, o, (cap,)); o += cap
+    maxd = _slice_f(buf, o, (cap,)); o += cap
+    valid = _slice_i(buf, o, (cap,)) > 0
+    return matching.MapPointView(pos=pos, desc=desc, normal=normal,
+                                 min_dist=mind, max_dist=maxd, valid=valid)
+
+
+def _cache_feats(cache: CacheArrays, slot) -> matching.FrameFeatures:
+    return matching.FrameFeatures(
+        xy=cache.xy[slot], ur=cache.ur[slot], octave=cache.octave[slot],
+        angle=cache.angle[slot], desc=cache.desc[slot],
+        valid=cache.valid[slot])
+
+
+# ---------------------------------------------------------------------------
+# KF-stage: triangulation + fusion, one upload
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class KfStageLayout:
+    """Static layout for the KF-stage buffer. B1 = 1 self + 3 tri neighbors,
+    B2 = fuse neighbors, N = keypoint capacity, V = fuse-view capacity."""
+
+    n_kp: int
+    b1: int = 4
+    b2: int = 2
+    view_cap: int = 2048
+
+    @property
+    def offsets(self):
+        N, B1, B2, V = self.n_kp, self.b1, self.b2, self.view_cap
+        o = {}
+        c = 0
+        for name, size in (
+            ("slots_tri", B1), ("slots_fuse", B2),
+            ("poses_tri", B1 * 16), ("poses_fuse", B2 * 16),
+            ("free_tri", B1 * N), ("valid_fuse", B2 * N),
+            ("view", V * VIEW_INTS_PER_PT),
+        ):
+            o[name] = c
+            c += size
+        o["_total"] = c
+        return o
+
+
+def pack_kf_stage(layout: KfStageLayout, store, kf_id: int,
+                  slots_tri: np.ndarray, nbs_tri: list[int],
+                  slots_fuse: np.ndarray, nbs_fuse: list[int],
+                  n_tri_real: int, n_fuse_real: int,
+                  view_pids: np.ndarray) -> np.ndarray:
+    N, B1, B2, V = layout.n_kp, layout.b1, layout.b2, layout.view_cap
+    poses_tri = store.kf_pose[[kf_id] + nbs_tri].astype(np.float32)
+    poses_fuse = store.kf_pose[nbs_fuse].astype(np.float32)
+    free_tri = np.zeros((B1, N), np.int32)
+    free_tri[0] = store.kf_kp_valid[kf_id] & (store.kf_pt_ids[kf_id] < 0)
+    for i, nb in enumerate(nbs_tri[:n_tri_real]):
+        free_tri[1 + i] = store.kf_kp_valid[nb] & (store.kf_pt_ids[nb] < 0)
+    valid_fuse = np.zeros((B2, N), np.int32)
+    for i, nb in enumerate(nbs_fuse[:n_fuse_real]):
+        valid_fuse[i] = store.kf_kp_valid[nb]
+    return np.concatenate([
+        slots_tri.astype(np.int32), slots_fuse.astype(np.int32),
+        _bc_f(poses_tri), _bc_f(poses_fuse),
+        free_tri.reshape(-1), valid_fuse.reshape(-1),
+        pack_view(store, view_pids, V),
+    ])
+
+
+@partial(jax.jit, static_argnames=("cam", "layout", "n_levels", "scale"))
+def kf_stage_cached(cam: StereoCamera, layout: KfStageLayout,
+                    cache: CacheArrays, buf: jnp.ndarray,
+                    inv_sigma2_lut: jnp.ndarray,
+                    n_levels: int, scale: float):
+    """One program for both KF-rate association stages. Returns
+    (tri_bufs (B1-1, L), fuse_bufs (B2, V+N))."""
+    N, B1, B2, V = layout.n_kp, layout.b1, layout.b2, layout.view_cap
+    o = layout.offsets
+    slots_tri = _slice_i(buf, o["slots_tri"], (B1,))
+    slots_fuse = _slice_i(buf, o["slots_fuse"], (B2,))
+    poses_tri = _slice_f(buf, o["poses_tri"], (B1, 4, 4))
+    poses_fuse = _slice_f(buf, o["poses_fuse"], (B2, 4, 4))
+    free_tri = _slice_i(buf, o["free_tri"], (B1, N)) > 0
+    valid_fuse = _slice_i(buf, o["valid_fuse"], (B2, N)) > 0
+    view = unpack_view(buf, o["view"], V)
+
+    s0 = jnp.maximum(slots_tri[0], 0)
+    xy1, desc1, oct1 = cache.xy[s0], cache.desc[s0], cache.octave[s0]
+
+    def tri_one(slot, T2, free2):
+        s = jnp.maximum(slot, 0)
+        return mapping_ops.triangulate_pair(
+            cam, poses_tri[0], T2, xy1, desc1, oct1, free_tri[0],
+            cache.xy[s], cache.desc[s], cache.octave[s], free2,
+            inv_sigma2_lut)
+
+    tri_bufs = jax.vmap(tri_one)(slots_tri[1:], poses_tri[1:], free_tri[1:])
+
+    def fuse_one(slot, T, valid):
+        s = jnp.maximum(slot, 0)
+        feats = matching.FrameFeatures(
+            xy=cache.xy[s], ur=cache.ur[s], octave=cache.octave[s],
+            angle=cache.angle[s], desc=cache.desc[s], valid=valid)
+        return mapping_ops.fuse_candidates(
+            cam, T, view, feats, n_levels=n_levels, scale=scale)
+
+    fuse_bufs = jax.vmap(fuse_one)(slots_fuse, poses_fuse, valid_fuse)
+    return tri_bufs, fuse_bufs
+
+
+# ---------------------------------------------------------------------------
+# BA stage: windowed BA + on-device tracking-view assembly, one upload
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class BaLayout:
+    """Static layout for the BA buffer. k_cap window KFs, p_bkt points,
+    o_bkt observations, tv_cap tracking-view slots."""
+
+    k_cap: int
+    p_bkt: int
+    o_bkt: int
+    tv_cap: int
+    n_kp: int
+
+    @property
+    def offsets(self):
+        K, P, O, V = self.k_cap, self.p_bkt, self.o_bkt, self.tv_cap
+        o = {}
+        c = 0
+        for name, size in (
+            ("slots", K), ("poses", K * 16), ("fixed", K),
+            ("points", P * 3), ("pvalid", P),
+            ("obs_kfe", O),   # k * 8192 + feature index
+            ("obs_p", O), ("obs_n", 1),
+            ("tv_pidx", V),   # view slot -> problem point index or -1
+            ("tv_view", V * VIEW_INTS_PER_PT),
+        ):
+            o[name] = c
+            c += size
+        o["_total"] = c
+        return o
+
+
+def pack_ba(layout: BaLayout, store, window: np.ndarray, slots: np.ndarray,
+            n_free: int, pts: np.ndarray, okf: np.ndarray, ofe: np.ndarray,
+            p_idx: np.ndarray, view_pids: np.ndarray,
+            view_p_idx: np.ndarray) -> np.ndarray:
+    K, P, O, V = layout.k_cap, layout.p_bkt, layout.o_bkt, layout.tv_cap
+    slots_pad = np.zeros(K, np.int32)
+    slots_pad[: len(slots)] = slots
+    poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    poses[: len(window)] = store.kf_pose[window]
+    fixed = np.ones(K, np.int32)
+    fixed[:n_free] = 0
+    points = np.zeros((P, 3), np.float32)
+    points[: len(pts)] = store.pt_pos[pts]
+    pvalid = np.zeros(P, np.int32)
+    pvalid[: len(pts)] = store.pt_valid[pts]
+    n_obs = len(okf)
+    obs_kfe = np.zeros(O, np.int32)
+    obs_kfe[:n_obs] = okf.astype(np.int32) * 8192 + ofe.astype(np.int32)
+    obs_p = np.zeros(O, np.int32)
+    obs_p[:n_obs] = p_idx
+    tv_pidx = np.full(V, -1, np.int32)
+    tv_pidx[: len(view_p_idx)] = view_p_idx
+    return np.concatenate([
+        slots_pad, _bc_f(poses), fixed, _bc_f(points), pvalid,
+        obs_kfe, obs_p, np.array([n_obs], np.int32),
+        tv_pidx, pack_view(store, view_pids, V),
+    ])
+
+
+@partial(jax.jit, static_argnames=("cam", "layout"))
+def ba_view_cached(cam: StereoCamera, layout: BaLayout, cache: CacheArrays,
+                   buf: jnp.ndarray, inv_sigma2_lut: jnp.ndarray):
+    """Windowed local BA with observations gathered from the KF cache, plus
+    on-device assembly of the tracker's post-BA local-map view.
+
+    Returns (result_buf, MapPointView). result_buf = [poses bitcast |
+    points bitcast | keep] as in ba.local_ba_packed."""
+    from ..optim import ba
+
+    K, P, O, V = layout.k_cap, layout.p_bkt, layout.o_bkt, layout.tv_cap
+    o = layout.offsets
+    slots = _slice_i(buf, o["slots"], (K,))
+    poses = _slice_f(buf, o["poses"], (K, 4, 4))
+    fixed = _slice_i(buf, o["fixed"], (K,)) > 0
+    points = _slice_f(buf, o["points"], (P, 3))
+    pvalid = _slice_i(buf, o["pvalid"], (P,)) > 0
+    obs_kfe = _slice_i(buf, o["obs_kfe"], (O,))
+    obs_p = _slice_i(buf, o["obs_p"], (O,))
+    n_obs = _slice_i(buf, o["obs_n"], (1,))[0]
+    tv_pidx = _slice_i(buf, o["tv_pidx"], (V,))
+    tv = unpack_view(buf, o["tv_view"], V)
+
+    obs_k = obs_kfe // 8192
+    obs_fe = obs_kfe % 8192
+    slot = slots[obs_k]
+    uv = cache.xy[slot, obs_fe]
+    ur = cache.ur[slot, obs_fe]
+    oct_ = cache.octave[slot, obs_fe]
+    ovalid = jnp.arange(O) < n_obs
+    obs = ba.BAObs(
+        k=obs_k, p=obs_p,
+        uvr=jnp.concatenate([uv, ur[:, None]], -1),
+        inv_sigma2=inv_sigma2_lut[oct_],
+        is_stereo=ur >= 0,
+        valid=ovalid,
+    )
+    problem = ba.BAProblem(poses=poses, points=points, pose_fixed=fixed,
+                           point_valid=pvalid, obs=obs)
+    solved, keep = ba.local_ba(cam, problem)
+    bcast = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    result = jnp.concatenate([
+        bcast(solved.poses.reshape(-1)),
+        bcast(solved.points.reshape(-1)),
+        keep.astype(jnp.int32),
+    ])
+    # post-BA tracking view: solved position where the point is in the
+    # problem, uploaded (host) position otherwise
+    in_ba = tv_pidx >= 0
+    pos = jnp.where(in_ba[:, None],
+                    solved.points[jnp.maximum(tv_pidx, 0)], tv.pos)
+    view = matching.MapPointView(pos=pos, desc=tv.desc, normal=tv.normal,
+                                 min_dist=tv.min_dist, max_dist=tv.max_dist,
+                                 valid=tv.valid)
+    return result, view
+
+
+# ---------------------------------------------------------------------------
+# cache backfill: upload an un-cached keyframe's features in one transfer
+# ---------------------------------------------------------------------------
+
+def pack_kf_feats(store, kf_id: int) -> np.ndarray:
+    return np.concatenate([
+        _bc_f(store.kf_xy[kf_id]), _bc_f(store.kf_ur[kf_id]),
+        store.kf_oct[kf_id].astype(np.int32).reshape(-1),
+        _bc_f(store.kf_angle[kf_id]), _bc_u(store.kf_desc[kf_id]),
+        store.kf_kp_valid[kf_id].astype(np.int32),
+    ])
+
+
+@partial(jax.jit, static_argnames=("n_kp",))
+def unpack_kf_feats(buf: jnp.ndarray, n_kp: int) -> matching.FrameFeatures:
+    N = n_kp
+    o = 0
+    xy = _slice_f(buf, o, (N, 2)); o += 2 * N
+    ur = _slice_f(buf, o, (N,)); o += N
+    oct_ = _slice_i(buf, o, (N,)); o += N
+    angle = _slice_f(buf, o, (N,)); o += N
+    desc = _slice_u(buf, o, (N, 8)); o += 8 * N
+    valid = _slice_i(buf, o, (N,)) > 0
+    return matching.FrameFeatures(xy=xy, ur=ur, octave=oct_, angle=angle,
+                                  desc=desc, valid=valid)

@@ -36,7 +36,7 @@ import numpy as np
 
 from ..config import SlamConfig
 from ..frontend import matching
-from ..frontend.frame import FrameData, build_frame
+from ..frontend.frame import FrameData, build_frame, build_frame_pair
 from ..geometry import se3
 from ..geometry.camera import StereoCamera
 from ..ops import hamming
@@ -248,6 +248,12 @@ def _line_step(
     return T3, det2ln, n_line
 
 
+@partial(jax.jit, static_argnames=("cap",))
+def _unpack_view_dev(buf: jnp.ndarray, cap: int):
+    from . import mapper_fast
+    return mapper_fast.unpack_view(buf, 0, cap)
+
+
 @dataclass
 class FrameLog:
     """Per-frame trajectory bookkeeping entry (Tracking.cc:497-514)."""
@@ -286,7 +292,7 @@ class StereoTracker:
     def __init__(self, cfg: SlamConfig, store: MapStore | None = None,
                  local_pt_cap: int = 8192, mapper_kwargs: dict | None = None,
                  enable_loops: bool = True, vocabulary=None,
-                 pipeline: bool = False):
+                 pipeline: bool = False, pipeline_depth: int = 2):
         self.cfg = cfg
         self.cam = cfg.camera.stereo_camera()
         self.orb = cfg.orb
@@ -313,14 +319,19 @@ class StereoTracker:
         self._view_pid = None
         self._reloc_key = jax.random.PRNGKey(7)
         self.localization_only = False
-        # pipelined (finalize-lag-1) mode state
+        # pipelined (finalize-lag-N) mode state: up to `pipeline_depth - 1`
+        # frames stay in flight before their host finalize; deeper lag hides
+        # the execute+readback round trip of the tunneled device entirely
         self.pipeline = pipeline
-        self._pending = None
+        self.pipeline_depth = max(1, pipeline_depth)
+        self._pending: list[dict] = []
         self._dev_T = None
         self._dev_vel = None
         self._resync = True
         self._mono = False
         self._init_ref = None
+        # staged loop-closing state: (kf_id, device word ids) awaiting absorb
+        self._pending_loop = None
         # line pipeline (the LLD differentiator; off when ldType is `empty`,
         # matching the reference config gate)
         self.enable_lines = cfg.line.enabled
@@ -371,8 +382,10 @@ class StereoTracker:
         self._ref_match = jax.jit(partial(
             hamming.match_descriptors, max_dist=hamming.TH_LOW, ratio=0.7))
         self._mapper_kwargs = dict(mapper_kwargs or {})
+        from .kf_cache import KfCache
+        self.kf_cache = KfCache(n_slots=32, n_kp=self.store.n_kp)
         self.mapper = local_mapping.LocalMapper(
-            self.store, cfg, **self._mapper_kwargs)
+            self.store, cfg, cache=self.kf_cache, **self._mapper_kwargs)
         # loop closing: vocabulary supplied up front, or trained from the
         # first keyframe's descriptors at initialization (System.cc:70 loads
         # ORBvoc.txt; loop/bow.py reads that format too)
@@ -386,26 +399,37 @@ class StereoTracker:
 
     # ------------------------------------------------------------------
 
-    def process(self, img_l: np.ndarray, img_r: np.ndarray, timestamp: float = 0.0):
+    @staticmethod
+    def stage_pair(img_l: np.ndarray, img_r: np.ndarray):
+        """Stage a stereo pair on device: ONE stacked uint8 upload (each
+        host->device transfer pays a full serialized link round trip, so two
+        separate image uploads doubled the per-frame ingest cost). Returns
+        the device array; pass it to `process(..., pair_dev=...)` — callers
+        that stage a few frames ahead overlap the transfer with tracking."""
+        if img_l.dtype != np.uint8:
+            if img_l.max(initial=0.0) <= 255.0:
+                img_l = img_l.astype(np.uint8)
+                img_r = img_r.astype(np.uint8)
+        return jax.device_put(np.stack([img_l, img_r]))
+
+    def process(self, img_l: np.ndarray, img_r: np.ndarray,
+                timestamp: float = 0.0, pair_dev=None):
         """Track one stereo pair; returns (T_cw (4,4) np, TrackMetrics)."""
         import time as _time
         self.frame_id += 1
         m = TrackMetrics(frame_id=self.frame_id)
         t0 = _time.perf_counter()
-        # upload as uint8 when the source allows: 4x less tunnel traffic
-        if img_l.dtype == np.float32 and img_l.max(initial=0.0) <= 255.0:
-            img_l = img_l.astype(np.uint8)
-            img_r = img_r.astype(np.uint8)
-        jl, jr = jnp.asarray(img_l), jnp.asarray(img_r)
-        fd = build_frame(jl, jr, self.cam, self.orb)
+        if pair_dev is None:
+            pair_dev = self.stage_pair(img_l, img_r)
+        fd = build_frame_pair(pair_dev, self.cam, self.orb)
         if self.enable_lines:
             from ..frontend import line_extract, line_match
             if self._line_source is not None:
                 kld = self._line_source[0].frame(self.frame_id)
                 krd = self._line_source[1].frame(self.frame_id)
             else:
-                kld = line_extract.detect_lines(jl, self.line_cfg)
-                krd = line_extract.detect_lines(jr, self.line_cfg)
+                kld = line_extract.detect_lines(pair_dev[0], self.line_cfg)
+                krd = line_extract.detect_lines(pair_dev[1], self.line_cfg)
             self._cur_fl = line_match.match_stereo_lines(
                 self.cam, kld, krd, md_thr=self._md_gate,
                 min_len=self.cfg.line.min_line_len)
@@ -567,7 +591,7 @@ class StereoTracker:
                            m: TrackMetrics):
         import time as _time
         ret = None
-        if self._pending is not None and self._resync:
+        if self._pending and self._resync:
             # chain poisoned (LOST/fallback/loop jump): fix host state first
             ret = self.flush()
         if self._resync or self._dev_T is None:
@@ -582,29 +606,84 @@ class StereoTracker:
             self._view, self._inv_sigma2_lut, self.orb.n_levels,
             self.orb.scale, self.cfg.tracking.min_motion_matches,
             float(self.cfg.close_depth))
+        out[0].copy_to_host_async()
         m.t_dispatch = _time.perf_counter() - t0
         rec = dict(fd=fd, out=out, ts=timestamp, m=m, fid=self.frame_id,
-                   view_pid=self._view_pid, prev=prev)
+                   view_pid=self._view_pid,
+                   view_cap=len(self._view_pid), prev=prev)
         self._dev_T, self._dev_vel = out[3], out[4]
         self._last_feats = fd.feats
         self._last_ptpos, self._last_haspt = out[1], out[2]
-        pend, self._pending = self._pending, rec
-        if pend is not None:
-            ret = self._finalize_rec(pend)
+        self._pending.append(rec)
+        if len(self._pending) >= self.pipeline_depth:
+            ret = self._finalize_rec(self._pending.pop(0))
         return ret if ret is not None else (self.T_cw.copy(), None)
 
     def flush(self):
-        """Finalize the in-flight pipelined frame (sequence end, or before
-        any synchronous processing)."""
-        if getattr(self, "_pending", None) is None:
-            return None
-        rec, self._pending = self._pending, None
-        return self._finalize_rec(rec)
+        """Finalize all in-flight pipelined frames and absorb any staged
+        keyframe work (sequence end, or before synchronous processing)."""
+        ret = None
+        while getattr(self, "_pending", None):
+            rec = self._pending.pop(0)
+            ret = self._finalize_rec(rec)
+        self._flush_kf_pipeline()
+        return ret
+
+    def _flush_kf_pipeline(self):
+        """Absorb pending staged mapper/loop work synchronously."""
+        mp = self.mapper
+        if mp._pending_kf is not None:
+            kf_id = mp._pending_kf["kf_id"]
+            mp.absorb_kf_stage()
+            out = mp.dispatch_ba(kf_id)
+            if out is not None:
+                self._view, self._view_pid = out
+        if mp._pending_ba is not None:
+            mp.absorb_ba()
+        if self._pending_loop is not None:
+            self._absorb_loop()
+
+    def _step_kf_pipeline(self):
+        """Advance the staged keyframe pipeline by one stage per finalized
+        frame (the deterministic analogue of the LocalMapping/LoopClosing
+        thread overlap, reference src/LocalMapping.cc:48-113). Returns True
+        when a loop correction rewrote the map (callers must resync)."""
+        out = self.mapper.step_pending()
+        if out is not None:
+            self._view, self._view_pid = out
+        if self._pending_loop is not None and not self.mapper.busy:
+            return self._absorb_loop()
+        return False
+
+    def _absorb_loop(self) -> bool:
+        """Absorb the staged BoW words -> loop detection for a keyframe
+        (+ full Sim3/correction when a loop fires — rare)."""
+        kf_id, words = self._pending_loop
+        self._pending_loop = None
+        if self.loop_closer is None:
+            return False
+        T_ref_old = self.store.kf_pose[self.ref_kf].copy()
+        corrected = self.loop_closer.finish_keyframe(kf_id, np.asarray(words))
+        if corrected:
+            # re-express the tracker pose through the corrected reference
+            # (CorrectLoop pose propagation, reference LoopClosing.cc:455-465)
+            T_cr = self.T_cw @ np.linalg.inv(T_ref_old)
+            self.T_cw = (T_cr @ self.store.kf_pose[self.ref_kf]).astype(
+                np.float32)
+            self._refresh_local_view()
+            self._refresh_ref_matches()
+            if self.enable_lines:
+                self._refresh_line_view()
+            self._resync = True
+        return corrected
 
     def _finalize_rec(self, rec: dict):
         import time as _time
         m: TrackMetrics = rec["m"]
         t0 = _time.perf_counter()
+        # advance staged keyframe work one stage per frame; a loop
+        # correction poisons the in-flight chain (resync below)
+        self._step_kf_pipeline()
         if self._resync:
             # the device results were computed from a poisoned pose chain —
             # reprocess this frame through the synchronous path (rare:
@@ -627,7 +706,8 @@ class StereoTracker:
         packed = jax.device_get(out[0])
         m.t_get = _time.perf_counter() - t_g
         (T_np, n_mm, n_in, tracked_close, untracked_close, n_kp, n_st,
-         kp2last, kp2pt_l, ok, in_frustum) = self._unpack(packed)
+         kp2last, kp2pt_l, ok, in_frustum) = self._unpack(
+             packed, rec["view_cap"])
         m.n_motion_matches = int(n_mm)
         m.n_kp = int(n_kp)
         m.n_stereo = int(n_st)
@@ -663,13 +743,10 @@ class StereoTracker:
                                    int(untracked_close), fid=rec["fid"])
         if new_kf:
             t_kf0 = _time.perf_counter()
-            loop_corrected = self._create_kf(
-                rec["fd"], kp2pt, rec["ts"], fid=rec["fid"],
-                pipelined=True)
+            self._create_kf(rec["fd"], kp2pt, rec["ts"], fid=rec["fid"],
+                            pipelined=True)
             m.t_kf = _time.perf_counter() - t_kf0
             m.new_kf = True
-            if loop_corrected:
-                self._resync = True  # big pose jump: redo in-flight frame
         self._last_kp2pt = kp2pt
         self._log_frame(rec["ts"])
         m.t_step = _time.perf_counter() - t0 - m.t_kf
@@ -695,6 +772,7 @@ class StereoTracker:
         Monocular input dispatches to the H/F bootstrap instead."""
         if fid is None:
             fid = self.frame_id
+        self._flush_kf_pipeline()
         if self._mono:
             return self._initialize_mono(fd, timestamp, m)
         feats, depth = self._snapshot_np(fd)
@@ -815,30 +893,20 @@ class StereoTracker:
     def _refresh_local_view(self):
         """Rebuild the padded MapPointView over the local map
         (UpdateLocalPoints, Tracking.cc:1677-1724: points of the
-        covisibility-local keyframes). Called at KEYFRAME rate only — the map
-        is immutable between keyframes by construction, so the per-frame view
-        rebuild + host->device upload of the first implementation was pure
-        waste (it dominated the per-frame profile)."""
+        covisibility-local keyframes) with ONE packed upload. In the steady
+        state the view ships with the BA program instead
+        (mapper_fast.ba_view_cached); this path covers initialization,
+        relocalization and loop corrections."""
+        from . import mapper_fast
         s = self.store
-        covis, _ = s.covisible_kfs(self.ref_kf, min_shared=15, top=19)
-        local_kfs = np.concatenate([[self.ref_kf], covis]).astype(np.int32)
-        ids = np.unique(s.kf_pt_ids[local_kfs])
-        ids = ids[ids >= 0]
-        ids = ids[s.pt_valid[ids]]
-        cap = self.local_pt_cap
+        ids = self.mapper._select_view_pids(self.ref_kf)
+        cap = 2048 if len(ids) <= 2048 else 4096
         if len(ids) > cap:
             ids = ids[-cap:]  # keep newest (forward motion: recent = visible)
-        P = len(ids)
-        pad = cap - P
+        pad = cap - len(ids)
         self._view_pid = np.concatenate([ids, np.full(pad, -1, ids.dtype)])
-        self._view = matching.MapPointView(
-            pos=jnp.asarray(np.concatenate([s.pt_pos[ids], np.zeros((pad, 3), np.float32)])),
-            desc=jnp.asarray(np.concatenate([s.pt_desc[ids], np.zeros((pad, 8), np.uint32)])),
-            normal=jnp.asarray(np.concatenate([s.pt_normal[ids], np.zeros((pad, 3), np.float32)])),
-            min_dist=jnp.asarray(np.concatenate([s.pt_min_dist[ids], np.zeros(pad, np.float32)])),
-            max_dist=jnp.asarray(np.concatenate([s.pt_max_dist[ids], np.zeros(pad, np.float32)])),
-            valid=jnp.asarray(np.concatenate([np.ones(P, bool), np.zeros(pad, bool)])),
-        )
+        buf = jax.device_put(mapper_fast.pack_view(s, ids, cap))
+        self._view = _unpack_view_dev(buf, cap)
 
     def _match_ref_kf(self, fd: FrameData) -> np.ndarray:
         """TrackReferenceKeyFrame association (Tracking.cc:773-830): global
@@ -975,8 +1043,11 @@ class StereoTracker:
         (Tracking.cc:482-488 -> Tracking::Reset, Tracking.cc:2000-2046):
         clear the map, database and trajectory bookkeeping, reinitialize."""
         self.store = MapStore(self.cam, self.orb)
+        self.kf_cache.clear()
         self.mapper = local_mapping.LocalMapper(
-            self.store, self.cfg, **self._mapper_kwargs)
+            self.store, self.cfg, cache=self.kf_cache,
+            **self._mapper_kwargs)
+        self._pending_loop = None
         if self.loop_closer is not None:
             from ..loop.closing import LoopCloser
             self.loop_closer = LoopCloser(self.store, self.vocabulary,
@@ -999,9 +1070,9 @@ class StereoTracker:
         if self.enable_lines:
             self._refresh_line_view()
 
-    def _unpack(self, packed: np.ndarray):
+    def _unpack(self, packed: np.ndarray, view_cap: int | None = None):
         n = self.store.n_kp
-        p = self.local_pt_cap
+        p = view_cap if view_cap is not None else len(self._view_pid)
         T_np = packed[:16].view(np.float32).reshape(4, 4)
         scal = packed[16:22]
         o = 22
@@ -1015,6 +1086,7 @@ class StereoTracker:
                fid: int | None = None):
         if fid is None:
             fid = self.frame_id
+        self._flush_kf_pipeline()
         if self.state == TrackState.LOST:
             T_reloc = self._attempt_reloc(fd)
             if T_reloc is not None:
@@ -1185,10 +1257,26 @@ class StereoTracker:
         s.set_parent_from_covisibility(kf)
         self.ref_kf = kf
         self.last_kf_frame = fid
+        # register the frame's device feature arrays in the KF cache (zero
+        # channel traffic: device->device copy)
+        self.mapper.cache_frame(kf, fd.feats)
         import time as _time
         t0 = _time.perf_counter()
+        if pipelined:
+            # staged: dispatch triangulation+fusion and the BoW descent now,
+            # absorb one stage per subsequent finalized frame
+            # (_step_kf_pipeline) — the deterministic analogue of the
+            # reference's LocalMapping/LoopClosing thread overlap
+            self.mapper.dispatch_kf_stage(kf)
+            if self.loop_closer is not None:
+                self._pending_loop = (kf, self.loop_closer.dispatch_bow(
+                    fd.feats.desc, fd.feats.valid))
+            self._refresh_ref_matches()
+            self.kf_timings.append(
+                dict(mapper=_time.perf_counter() - t0, loop=0.0, view=0.0))
+            return False
         # deterministic local-mapping step (replaces the LocalMapping thread)
-        self.mapper.process_keyframe(kf)
+        view_out = self.mapper.process_keyframe(kf)
         t1 = _time.perf_counter()
         # deterministic loop-closing step (replaces the LoopClosing thread)
         corrected = False
@@ -1197,7 +1285,11 @@ class StereoTracker:
         t2 = _time.perf_counter()
         # refresh current pose from the (BA/loop-)corrected KF pose
         self.T_cw = s.kf_pose[kf].copy()
-        self._refresh_local_view()
+        if view_out is not None and not corrected:
+            # post-BA view assembled on device by the BA program
+            self._view, self._view_pid = view_out
+        else:
+            self._refresh_local_view()
         self._refresh_ref_matches()
         if self.enable_lines:
             self._refresh_line_view()

@@ -121,6 +121,90 @@ class MapStore:
         self._obs_fe: np.ndarray | None = None   # feature slot per obs row
         self._obs_start: np.ndarray | None = None  # (max_pt + 1,) CSR offsets
 
+        # growth ceilings: capacities double on demand up to these hard
+        # limits (the reference's std::set maps grow unbounded, src/Map.cc;
+        # here growth is geometric reallocation with a logged event)
+        self.hard_max_kf = 4096
+        self.hard_max_pt = 1_000_000
+        self.hard_max_ln = 65_536
+        self.cap_events: list[str] = []
+
+    # ------------------------------------------------------------------
+    # capacity growth (graceful, geometric; replaces the round-2 asserts)
+    # ------------------------------------------------------------------
+
+    _KF_FAMILY = (
+        ("kf_pose", 0.0), ("kf_parent", -1), ("kf_valid", False),
+        ("kf_frame_id", -1), ("kf_timestamp", 0.0), ("kf_xy", 0.0),
+        ("kf_ur", -1.0), ("kf_depth", -1.0), ("kf_oct", 0), ("kf_angle", 0.0),
+        ("kf_desc", 0), ("kf_kp_valid", False), ("kf_pt_ids", -1),
+        ("kf_ln_p1", 0.0), ("kf_ln_p2", 0.0), ("kf_ln_p1r", 0.0),
+        ("kf_ln_p2r", 0.0), ("kf_ln_has_r", False), ("kf_ln_oct", 0),
+        ("kf_ln_desc", 0.0), ("kf_ln_valid", False), ("kf_ln_ids", -1),
+    )
+    _PT_FAMILY = (
+        ("pt_pos", 0.0), ("pt_desc", 0), ("pt_normal", 0.0),
+        ("pt_min_dist", 0.0), ("pt_max_dist", 0.0), ("pt_valid", False),
+        ("pt_first_kf", -1), ("pt_visible", 0), ("pt_found", 0),
+        ("pt_nobs", 0),
+    )
+    _LN_FAMILY = (
+        ("ln_x0", 0.0), ("ln_dir", 0.0), ("ln_desc", 0.0), ("ln_oct", 0),
+        ("ln_valid", False), ("ln_first_kf", -1), ("ln_nobs", 0),
+    )
+
+    def _grow_family(self, family, old_cap: int, new_cap: int):
+        for name, fill in family:
+            a = getattr(self, name)
+            pad = np.full((new_cap - old_cap,) + a.shape[1:], fill, a.dtype)
+            setattr(self, name, np.concatenate([a, pad]))
+
+    def _grow_kf(self) -> bool:
+        new = min(self.max_kf * 2, self.hard_max_kf)
+        if new <= self.max_kf:
+            return False
+        self.cap_events.append(f"grow_kf {self.max_kf}->{new}")
+        self._grow_family(self._KF_FAMILY, self.max_kf, new)
+        self.max_kf = new
+        return True
+
+    def _grow_pt(self) -> bool:
+        new = min(self.max_pt * 2, self.hard_max_pt)
+        if new <= self.max_pt:
+            return False
+        self.cap_events.append(f"grow_pt {self.max_pt}->{new}")
+        self._grow_family(self._PT_FAMILY, self.max_pt, new)
+        self.max_pt = new
+        self._obs_dirty = True  # CSR offsets are sized max_pt + 1
+        return True
+
+    def _grow_ln(self) -> bool:
+        new = min(self.max_ln * 2, self.hard_max_ln)
+        if new <= self.max_ln:
+            return False
+        self.cap_events.append(f"grow_ln {self.max_ln}->{new}")
+        self._grow_family(self._LN_FAMILY, self.max_ln, new)
+        self.max_ln = new
+        return True
+
+    def room_for_points(self, n: int) -> int:
+        """How many of n requested points may be created, growing capacity
+        as needed; < n only at the hard ceiling (event logged)."""
+        while self.n_pt + n > self.max_pt and self._grow_pt():
+            pass
+        room = max(0, self.max_pt - self.n_pt)
+        if room < n:
+            self.cap_events.append(f"pt_ceiling drop {n - room}")
+        return min(n, room)
+
+    def room_for_lines(self, n: int) -> int:
+        while self.n_ln + n > self.max_ln and self._grow_ln():
+            pass
+        room = max(0, self.max_ln - self.n_ln)
+        if room < n:
+            self.cap_events.append(f"ln_ceiling drop {n - room}")
+        return min(n, room)
+
     # ------------------------------------------------------------------
     # insertion
     # ------------------------------------------------------------------
@@ -128,7 +212,9 @@ class MapStore:
     def add_keyframe(self, T_cw, feats_np, depth_np, pt_ids, frame_id, timestamp=0.0) -> int:
         """feats_np: dict of numpy arrays (xy, ur, octave, angle, desc, valid).
         pt_ids: (N,) int32 current point association per feature (-1 none)."""
-        assert self.n_kf < self.max_kf, "keyframe capacity exhausted"
+        if self.n_kf >= self.max_kf and not self._grow_kf():
+            raise RuntimeError(
+                f"keyframe hard ceiling {self.hard_max_kf} reached")
         k = self.n_kf
         self.kf_pose[k] = T_cw
         self.kf_valid[k] = True
@@ -170,7 +256,9 @@ class MapStore:
         """Allocate map lines observed by (kf_id, det_idx); X0/d world frame,
         minimal form (sole creation site parallels Tracking.cc:1597)."""
         m = len(det_idx)
-        assert self.n_ln + m <= self.max_ln, "line capacity exhausted"
+        if m > self.room_for_lines(m):
+            m = self.room_for_lines(m)
+            det_idx, X0, d = det_idx[:m], X0[:m], d[:m]
         ids = np.arange(self.n_ln, self.n_ln + m, dtype=np.int32)
         self.ln_x0[ids] = X0
         self.ln_dir[ids] = d
@@ -291,7 +379,9 @@ class MapStore:
     def create_points(self, kf_id: int, feat_idx: np.ndarray, positions: np.ndarray) -> np.ndarray:
         """Allocate new map points observed by (kf_id, feat_idx). Returns ids."""
         m = len(feat_idx)
-        assert self.n_pt + m <= self.max_pt, "point capacity exhausted"
+        if m > self.room_for_points(m):
+            m = self.room_for_points(m)
+            feat_idx, positions = feat_idx[:m], positions[:m]
         ids = np.arange(self.n_pt, self.n_pt + m, dtype=np.int32)
         self.pt_pos[ids] = positions
         self.pt_desc[ids] = self.kf_desc[kf_id, feat_idx]

@@ -76,9 +76,18 @@ class System:
 
     # -- frame input (System::TrackStereo/TrackRGBD, System.cc:121-194) --
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
-                     timestamp: float = 0.0):
-        """Returns (T_cw (4,4), per-frame metrics)."""
-        return self.tracker.process(img_l, img_r, timestamp)
+                     timestamp: float = 0.0, pair_dev=None):
+        """Returns (T_cw (4,4), per-frame metrics). `pair_dev` optionally
+        passes a device-staged stacked pair from `stage_stereo` — staging a
+        few frames ahead overlaps the host->device transfer with tracking
+        (the TPU-native analogue of the reference's image-read thread)."""
+        return self.tracker.process(img_l, img_r, timestamp,
+                                    pair_dev=pair_dev)
+
+    def stage_stereo(self, img_l: np.ndarray, img_r: np.ndarray):
+        """Stage one stereo pair in device memory (one stacked async upload);
+        pass the handle back via track_stereo(pair_dev=...)."""
+        return self.tracker.stage_pair(img_l, img_r)
 
     def track_rgbd(self, img: np.ndarray, depthmap: np.ndarray,
                    timestamp: float = 0.0, depth_factor: float = 1.0):

@@ -21,7 +21,7 @@ def _cfg():
 
 def _frames(cfg, n):
     from bench import _make_sequence
-    return _make_sequence(cfg.camera.stereo_camera(), n, n_pts=2500, seed=3)
+    return _make_sequence(cfg.camera.stereo_camera(), n, n_per_m=25.0, seed=3)
 
 
 @pytest.mark.slow
@@ -43,19 +43,24 @@ def test_pipelined_matches_sync():
 
     assert len(ts_p) == len(ts_s) == len(frames)
     assert pipe.tracker.state.name == "OK"
-    # identical camera path up to the (1-frame-lag) map-update schedule:
-    # positions must agree to ~decimeter on a ~17 m path
+    # identical camera path up to the pipelined map-update schedule (lag-N
+    # finalize + staged mapper: triangulation/fusion and BA land 1-2 frames
+    # after the keyframe — the deterministic analogue of the reference's
+    # LocalMapping thread lag): positions agree to a couple of decimeters
+    # on a ~17 m path
     dp = np.linalg.norm(T_p[:, :3, 3] - T_s[:, :3, 3], axis=-1)
-    assert dp.max() < 0.12, dp.max()
+    assert dp.max() < 0.25, dp.max()
     # every frame got finalized exactly once, in order
     fids = [m.frame_id for m in pipe.tracker.metrics]
     assert fids == sorted(fids)
-    # frame 0 initializes synchronously; frame 1 is the first pipelined
-    # dispatch (nothing finalized yet); from frame 2 on, each call returns
-    # the PREVIOUS frame's finalized metrics
+    # frame 0 initializes synchronously; the next (depth - 1) frames are
+    # in-flight dispatches (nothing finalized yet); after that each call
+    # returns the (i - depth + 1)-th frame's finalized metrics
+    depth = pipe.tracker.pipeline_depth
     assert rets[0][1] is not None and rets[0][1].frame_id == 0
-    assert rets[1][1] is None
-    assert rets[2][1] is not None and rets[2][1].frame_id == 1
+    for j in range(1, depth):
+        assert rets[j][1] is None
+    assert rets[depth][1] is not None and rets[depth][1].frame_id == 1
 
 
 @pytest.mark.slow

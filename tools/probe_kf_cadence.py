@@ -17,7 +17,7 @@ def main():
                      tracking=TrackingConfig(min_init_points=100))
     print("close_depth:", cfg.close_depth, file=sys.stderr)
     sysm = System(cfg, pipeline=True)
-    frames = _make_sequence(cam_cfg.stereo_camera(), 24, n_pts=4000)
+    frames = _make_sequence(cam_cfg.stereo_camera(), 24)
 
     tr = sysm.tracker
     orig = tr._need_new_kf

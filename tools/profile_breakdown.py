@@ -40,7 +40,7 @@ def main():
     slam = System(cfg)
     cam = cam_cfg.stereo_camera()
     log("generating sequence...")
-    frames = _make_sequence(cam, 12, n_pts=4000)
+    frames = _make_sequence(cam, 12)
     log("running 12 frames (warmup + map growth)...")
     for i, (l, r) in enumerate(frames):
         t0 = time.perf_counter()

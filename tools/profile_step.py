@@ -38,7 +38,7 @@ def main():
     cfg = SlamConfig(camera=cam_cfg, orb=OrbConfig(n_features=2000),
                      tracking=TrackingConfig(min_init_points=100))
     slam = System(cfg)
-    frames = _make_sequence(cam_cfg.stereo_camera(), 8, n_pts=4000)
+    frames = _make_sequence(cam_cfg.stereo_camera(), 8)
     for i, (l, r) in enumerate(frames):
         slam.track_stereo(l, r, timestamp=i * 0.1)
 
