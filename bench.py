@@ -33,7 +33,20 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _make_sequence(cam, n_frames: int, n_per_m: float = 40.0, seed: int = 0):
+def _draw_seg(img, a, b, value, width=2):
+    """Rasterize a bright segment (host, prep only)."""
+    H, W = img.shape
+    n = int(max(abs(b[0] - a[0]), abs(b[1] - a[1])) * 2) + 2
+    xs = np.linspace(a[0], b[0], n)
+    ys = np.linspace(a[1], b[1], n)
+    for x, y in zip(xs, ys):
+        xi, yi = int(round(x)), int(round(y))
+        if 1 <= xi < W - width and 1 <= yi < H - width:
+            img[yi:yi + width, xi:xi + width] = value
+
+
+def _make_sequence(cam, n_frames: int, n_per_m: float = 40.0, seed: int = 0,
+                   with_lines: bool = False):
     """Synthetic forward-motion stereo corridor with KITTI-like feature
     lifetimes: points are laid out per meter of travel with lateral offset
     proportional to depth (stable bearing), so tracked-feature decay matches
@@ -59,10 +72,22 @@ def _make_sequence(cam, n_frames: int, n_per_m: float = 40.0, seed: int = 0):
     patches[:, PS // 2 - 1:PS // 2 + 2, PS // 2 - 1:PS // 2 + 2] = \
         bright[:, None, None]
 
+    segs = []
+    if with_lines:
+        # vertical 3D bars along the corridor (the LLD line workload;
+        # vertical = well-conditioned for rectified stereo)
+        for _ in range(int(length / 4)):
+            z = rng.uniform(8.0, length)
+            x = np.tan(rng.uniform(-0.6, 0.6)) * z
+            y0, y1 = rng.uniform(-4.0, -1.0), rng.uniform(3.0, 9.0)
+            val = rng.uniform(170, 255)
+            segs.append((np.array([x, y0, z]), np.array([x, y1, z]), val))
+
     h = PS // 2
     frames = []
     T = np.eye(4, dtype=np.float32)
     xi = np.array([0.0, 0.0, -1.0, 0.0, 0.003, 0.0], np.float32)
+    dT = np.asarray(se3.exp(jnp.asarray(xi)))  # once, not per frame
     for _ in range(n_frames):
         imL = np.full((H, W), 15.0, np.float32)
         imR = np.full((H, W), 15.0, np.float32)
@@ -77,8 +102,21 @@ def _make_sequence(cam, n_frames: int, n_per_m: float = 40.0, seed: int = 0):
                 iu, iv, iur = int(u[i]), int(v[i]), int(ur[i])
                 imL[iv - h:iv + h + 1, iu - h:iu + h + 1] = patches[i]
                 imR[iv - h:iv + h + 1, iur - h:iur + h + 1] = patches[i]
+        for A, B, val in segs:
+            Ac = (T[:3, :3] @ A) + T[:3, 3]
+            Bc = (T[:3, :3] @ B) + T[:3, 3]
+            if Ac[2] < 1.0 or Bc[2] < 1.0:
+                continue
+            pa = np.array([cam.fx * Ac[0] / Ac[2] + cam.cx,
+                           cam.fy * Ac[1] / Ac[2] + cam.cy])
+            pb = np.array([cam.fx * Bc[0] / Bc[2] + cam.cx,
+                           cam.fy * Bc[1] / Bc[2] + cam.cy])
+            _draw_seg(imL, pa, pb, val)
+            da = cam.bf / Ac[2]
+            db = cam.bf / Bc[2]
+            _draw_seg(imR, pa - [da, 0], pb - [db, 0], val)
         frames.append((imL.astype(np.uint8), imR.astype(np.uint8)))
-        T = np.asarray(se3.exp(jnp.asarray(xi))) @ T
+        T = dT @ T
     return frames
 
 
@@ -176,12 +214,81 @@ def main():
          f"({1e3 * dt2 / (n_meas - 4):.1f} ms/frame, link-bound; "
          "see module docstring)")
 
+    # --- lines configuration: the reference's benchmark config (stored
+    # LBD detections + points, KITTI04-12_LBD.yaml:73-77) ---
+    fps3 = _bench_lines(cam_cfg, n_meas)
+
     print(json.dumps({
         "metric": "kitti_stereo_tracking_throughput",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 10.0, 2),
+        "lines_fps": round(fps3, 2),
+        "ingest_fps": round(fps2, 2),
     }))
+
+
+def _bench_lines(cam_cfg, n_meas: int) -> float:
+    """Stored-LBD lines + points throughput (the reference's KITTI benchmark
+    configuration). Detections are precomputed by the native device detector
+    into the StoredLineExtractor npz format, then the timed run tracks with
+    the stored-line route, pre-staged like the images."""
+    import tempfile
+    import jax
+    from lldslam_tpu.config import LineConfig, SlamConfig, TrackingConfig
+    from lldslam_tpu.io.stored_lines import save_frame_lines, \
+        stage_stored_pair
+    from lldslam_tpu.ops.orb import OrbConfig
+    from lldslam_tpu.system import System
+
+    n_warm = 6
+    cam = cam_cfg.stereo_camera()
+    frames = _make_sequence(cam, n_warm + n_meas, seed=2, with_lines=True)
+    tmp = tempfile.mkdtemp(prefix="bench_lines_")
+    left, right = f"{tmp}/left", f"{tmp}/right"
+    _log("bench: precomputing stored line detections...")
+    from lldslam_tpu.frontend.line_extract import LineDetConfig, detect_lines
+    ldc = LineDetConfig(max_lines=64, min_len=25.0)
+    import jax.numpy as jnp
+    for i, (l, r) in enumerate(frames):
+        for img, d in ((l, left), (r, right)):
+            kl = detect_lines(jnp.asarray(img), ldc)
+            valid = np.asarray(kl.valid)
+            save_frame_lines(d, i, np.asarray(kl.p1), np.asarray(kl.p2),
+                             np.asarray(kl.octave), np.asarray(kl.desc),
+                             valid=valid)
+    cfg = SlamConfig(
+        camera=cam_cfg, orb=OrbConfig(n_features=2000),
+        line=LineConfig(ld_type="LBDFloat", md_thr=0.6,
+                        detections_path=left, descriptors_path=right),
+        tracking=TrackingConfig(min_init_points=100))
+    sys_ = System(cfg, pipeline=True)
+    _log("bench: lines warmup...")
+    sys_.warmup()
+    for i in range(n_warm):
+        t = time.perf_counter()
+        sys_.track_stereo(*frames[i], timestamp=i * 0.1)
+        _log(f"bench: lines warm frame {i}: {time.perf_counter() - t:.1f}s")
+    src = sys_.tracker._line_source
+    staged = [(sys_.tracker.stage_pair(*frames[n_warm + j]),
+               stage_stored_pair(src[0], src[1], n_warm + j))
+              for j in range(n_meas)]
+    jax.block_until_ready(staged[-1][0])
+    m0 = len(sys_.tracker.metrics)
+    t0 = time.perf_counter()
+    for j, (h, lv) in enumerate(staged):
+        sys_.track_stereo(None, None, timestamp=(n_warm + j) * 0.1,
+                          pair_dev=h, lines_dev=lv)
+    sys_.flush()
+    dt = time.perf_counter() - t0
+    fps = n_meas / dt
+    ms = sys_.tracker.metrics[m0:]
+    n_line = [m.n_line_matches for m in ms]
+    _log(f"bench: lines {n_meas} frames in {dt:.2f}s ({fps:.2f} fps); "
+         f"line matches/frame median {int(np.median(n_line))}; "
+         f"map lines {sys_.map.n_ln}")
+    _report(sys_, ms, "lines")
+    return fps
 
 
 if __name__ == "__main__":

@@ -45,10 +45,7 @@ class StoredLineSource:
         self.cap = cap
         self.desc_dim = desc_dim
 
-    def frame(self, frame_id: int):
-        import jax.numpy as jnp
-        from ..frontend.line_extract import KeyLines
-
+    def _frame_np(self, frame_id: int):
         path = self.dir / f"{frame_id:06d}.npz"
         cap, D = self.cap, self.desc_dim
         p1 = np.zeros((cap, 2), np.float32)
@@ -65,12 +62,62 @@ class StoredLineSource:
             d = z["desc"][:n]
             desc[:n, : min(D, d.shape[1])] = d[:, : min(D, d.shape[1])]
             valid[:n] = True
-        length = np.linalg.norm(p2 - p1, axis=-1) * valid
-        return KeyLines(
-            p1=jnp.asarray(p1), p2=jnp.asarray(p2),
-            octave=jnp.asarray(octave), length=jnp.asarray(length),
-            desc=jnp.asarray(desc), valid=jnp.asarray(valid),
-        )
+        length = (np.linalg.norm(p2 - p1, axis=-1) * valid).astype(np.float32)
+        return p1, p2, octave, length, desc, valid
+
+    def _pack_np(self, frame_id: int) -> np.ndarray:
+        p1, p2, octave, length, desc, valid = self._frame_np(frame_id)
+        bc = lambda a: np.ascontiguousarray(
+            a, np.float32).reshape(-1).view(np.int32)
+        return np.concatenate([bc(p1), bc(p2), octave.astype(np.int32),
+                               bc(length), bc(desc),
+                               valid.astype(np.int32)])
+
+    def frame(self, frame_id: int):
+        """KeyLines for one frame — ONE packed host->device transfer (each
+        transfer pays a full serialized link round trip)."""
+        import jax
+        buf = jax.device_put(self._pack_np(frame_id))
+        return _unpack_keylines(buf, 0, self.cap, self.desc_dim)
+
+
+def stage_stored_pair(left: "StoredLineSource", right: "StoredLineSource",
+                      frame_id: int):
+    """Stage BOTH views' stored detections as ONE packed upload, the line
+    analogue of the stacked stereo-image staging (reference
+    StoredLineExtractor reads per-view files, stereo_kitti.cc:61-85)."""
+    import jax
+    bl = left._pack_np(frame_id)
+    br = right._pack_np(frame_id)
+    buf = jax.device_put(np.concatenate([bl, br]))
+    kl = _unpack_keylines(buf, 0, left.cap, left.desc_dim)
+    kr = _unpack_keylines(buf, len(bl), right.cap, right.desc_dim)
+    return kl, kr
+
+
+def _unpack_keylines(buf, off: int, cap: int, D: int):
+    import jax
+    from functools import partial
+    global _UNPACK_JIT
+    if _UNPACK_JIT is None:
+        @partial(jax.jit, static_argnames=("off", "cap", "D"))
+        def run(buf, off: int, cap: int, D: int):
+            from ..frontend.line_extract import KeyLines
+            from ..pipeline.mapper_fast import _slice_f, _slice_i
+            o = off
+            p1 = _slice_f(buf, o, (cap, 2)); o += 2 * cap
+            p2 = _slice_f(buf, o, (cap, 2)); o += 2 * cap
+            octave = _slice_i(buf, o, (cap,)); o += cap
+            length = _slice_f(buf, o, (cap,)); o += cap
+            desc = _slice_f(buf, o, (cap, D)); o += D * cap
+            valid = _slice_i(buf, o, (cap,)) > 0
+            return KeyLines(p1=p1, p2=p2, octave=octave, length=length,
+                            desc=desc, valid=valid)
+        _UNPACK_JIT = run
+    return _UNPACK_JIT(buf, off, cap, D)
+
+
+_UNPACK_JIT = None
 
 
 def precompute_sequence(seq, out_left: str | Path, out_right: str | Path,

@@ -159,6 +159,8 @@ class LoopCloser:
 
         cands = self.db.detect_loop_candidates_vec(
             ids, vals, max(min_score, 1e-3), connected | {kf_id}, groups_fn)
+        self.stage_times["n_candidates"] = self.stage_times.get(
+            "n_candidates", 0) + len(cands)
         if not cands:
             self.consistent_groups = []
             return None
@@ -517,9 +519,14 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
 
-    def global_ba(self, iters: int = 10, cg_iters: int = 64):
-        """Full-map BA on the matrix-free CG path (BundleAdjustment,
-        Optimizer.cc:321-560; 10 iterations, LoopClosing.cc:652)."""
+    def global_ba(self, iters: int = 10, cg_iters: int = 64,
+                  force_dist: bool | None = None):
+        """Full-map BA (BundleAdjustment, Optimizer.cc:321-560; 10
+        iterations, LoopClosing.cc:652). On a multi-device mesh the solve
+        runs landmark-sharded with explicit collectives
+        (parallel.dist_schur — SURVEY.md §5.7 scale-out design); on one
+        device it uses the matrix-free CG path. `force_dist` overrides the
+        device-count auto-selection (tests)."""
         s = self.store
         K = s.n_kf
         pids = np.nonzero(s.pt_valid[: s.n_pt])[0]
@@ -538,6 +545,8 @@ class LoopCloser:
         first = np.sort(first)
         kf_idx, feat_idx, p_idx = kf_idx[first], feat_idx[first], p_idx[first]
         if len(kf_idx) > self.gba_obs_cap:
+            self.stage_times["gba_obs_dropped"] = self.stage_times.get(
+                "gba_obs_dropped", 0) + (len(kf_idx) - self.gba_obs_cap)
             sel = np.linspace(0, len(kf_idx) - 1, self.gba_obs_cap).astype(int)
             kf_idx, feat_idx, p_idx = kf_idx[sel], feat_idx[sel], p_idx[sel]
         uv = s.kf_xy[kf_idx, feat_idx]
@@ -577,10 +586,23 @@ class LoopCloser:
                 valid=jnp.asarray(np.arange(ocap) < O),
             ),
         )
-        solved, chi2 = ba.ba_solve(s.cam, problem, iters=iters, dense=False,
-                                   cg_iters=cg_iters)
-        s.kf_pose[:K] = np.asarray(solved.poses)[:K]
-        s.pt_pos[pids] = np.asarray(solved.points)[: len(pids)]
+        use_dist = (len(jax.devices()) > 1 if force_dist is None
+                    else force_dist)
+        if use_dist:
+            from ..parallel import dist_schur
+            mesh = dist_schur.make_mesh()
+            dp, _ = dist_schur.make_dist_problem(
+                problem, int(np.prod(mesh.devices.shape)))
+            dp = dist_schur.place(dp, mesh)
+            poses_n, points_n, _ = dist_schur.dist_ba_solve(
+                s.cam, dp, mesh, iters=iters, cg_iters=cg_iters)
+            s.kf_pose[:K] = np.asarray(poses_n)[:K]
+            s.pt_pos[pids] = np.asarray(points_n)[: len(pids)]
+        else:
+            solved, chi2 = ba.ba_solve(s.cam, problem, iters=iters,
+                                       dense=False, cg_iters=cg_iters)
+            s.kf_pose[:K] = np.asarray(solved.poses)[:K]
+            s.pt_pos[pids] = np.asarray(solved.points)[: len(pids)]
         self._global_line_refine()
 
     def _global_line_refine(self, min_obs: int = 4):

@@ -146,56 +146,20 @@ class LocalMapper:
                 jax.block_until_ready(out)
 
     def _warmup_lines(self):
-        """Joint point+line BA warmup per bucket (line-enabled runs use the
-        joint program on the legacy upload path)."""
-        rng = np.random.default_rng(0)
-        cam = self.cam
-        K = self.k_cap
-        from ..optim import lines_ba
+        """Packed joint point+line BA warmup per bucket."""
         for P in self.p_buckets:
-            O = 3 * P
-            poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
-            pts = np.stack([rng.uniform(-5, 5, P), rng.uniform(-3, 3, P),
-                            rng.uniform(8, 20, P)], -1).astype(np.float32)
-            k_o = rng.integers(0, max(K // 2, 1), O).astype(np.int32)
-            p_o = rng.integers(0, P, O).astype(np.int32)
-            z = pts[p_o, 2]
-            uvr = np.stack([cam.fx * pts[p_o, 0] / z + cam.cx,
-                            cam.fy * pts[p_o, 1] / z + cam.cy,
-                            cam.fx * pts[p_o, 0] / z + cam.cx - cam.bf / z],
-                           -1).astype(np.float32)
-            fixed = np.zeros(K, bool)
-            fixed[K // 2:] = True
-            problem = ba.BAProblem(
-                poses=jnp.asarray(poses), points=jnp.asarray(pts),
-                pose_fixed=jnp.asarray(fixed),
-                point_valid=jnp.ones(P, bool),
-                obs=ba.BAObs(
-                    k=jnp.asarray(k_o), p=jnp.asarray(p_o),
-                    uvr=jnp.asarray(uvr),
-                    inv_sigma2=jnp.ones(O, jnp.float32),
-                    is_stereo=jnp.ones(O, bool),
-                    valid=jnp.asarray(np.arange(O) < O // 2)))
-            LC, LO = self.l_cap, self.lo_cap
-            q = np.zeros((LC, 4), np.float32)
-            q[:, 0] = 1.0
-            lobs = lines_ba.LineBAObs(
-                k=jnp.zeros(LO, jnp.int32),
-                l=jnp.asarray(rng.integers(0, LC, LO).astype(np.int32)),
-                x1l=jnp.asarray(rng.uniform(50, 300, (LO, 2)).astype(np.float32)),
-                x2l=jnp.asarray(rng.uniform(50, 300, (LO, 2)).astype(np.float32)),
-                x1r=jnp.asarray(rng.uniform(50, 300, (LO, 2)).astype(np.float32)),
-                x2r=jnp.asarray(rng.uniform(50, 300, (LO, 2)).astype(np.float32)),
-                octave=jnp.zeros(LO, jnp.int32),
-                has_r=jnp.ones(LO, bool),
-                valid=jnp.asarray(np.arange(LO) < 8),
-            )
-            joint = lines_ba.JointProblem(
-                base=problem, q=jnp.asarray(q),
-                alpha=jnp.ones(LC, jnp.float32),
-                line_valid=jnp.asarray(np.arange(LC) < 8), lobs=lobs)
-            np.asarray(lines_ba.local_joint_ba_packed(
-                cam, joint, float(self.cfg.line.gamma)))
+            for tv in ((2048,) if P <= 2048 else (2048, 4096)):
+                bl = mapper_fast.BaLayout(
+                    k_cap=self.k_cap, p_bkt=P, o_bkt=self._o_bkt(P),
+                    tv_cap=tv, n_kp=self.store.n_kp)
+                jlay = mapper_fast.JointBaLayout(
+                    base=bl, l_cap=self.l_cap, lo_cap=self.lo_cap)
+                bbuf = jax.device_put(
+                    np.zeros(jlay.offsets["_total"], np.int32))
+                out = mapper_fast.joint_ba_view_cached(
+                    self.cam, jlay, self.cache.arrays, bbuf, self._lut_dev,
+                    float(self.cfg.line.gamma))
+                jax.block_until_ready(out)
 
     def note_created(self, kf_id: int, pt_ids: np.ndarray):
         self._recent.append((kf_id, np.asarray(pt_ids)))
@@ -398,13 +362,6 @@ class LocalMapper:
         t0 = _time.perf_counter()
         self._kf_count += 1
         s = self.store
-        if self.enable_lines:
-            # joint point+line window BA (legacy synchronous path)
-            problem, meta = self._build_problem_legacy(kf_id)
-            if meta["n_obs"] >= 30 and len(meta["pts"]):
-                self._local_ba_joint(problem, meta)
-            self.cull_keyframes(kf_id)
-            return None
         if s.n_kf < 2 or self._kf_count % self.ba_interval != 0:
             self.cull_keyframes(kf_id)
             return None
@@ -427,14 +384,34 @@ class LocalMapper:
             k_cap=self.k_cap, p_bkt=meta["p_bkt"],
             o_bkt=self._o_bkt(meta["p_bkt"]), tv_cap=meta["tv_cap"],
             n_kp=s.n_kp)
-        buf_np = mapper_fast.pack_ba(
-            lay, s, meta["window"], slots, meta["n_free"], meta["pts"],
-            meta["okf"], meta["ofe"], meta["p_idx"], view_pids, view_p_idx)
-        buf = jax.device_put(buf_np)
-        result, view = mapper_fast.ba_view_cached(
-            self.cam, lay, self.cache.arrays, buf, self._lut_dev)
-        result.copy_to_host_async()
-        self._pending_ba = dict(result=result, meta=meta, kf_id=kf_id)
+        if self.enable_lines:
+            # joint point+line window BA, one packed upload
+            lmeta = self._line_obs_np(meta["window"])
+            jlay = mapper_fast.JointBaLayout(
+                base=lay, l_cap=self.l_cap, lo_cap=self.lo_cap)
+            buf_np = mapper_fast.pack_joint_ba(
+                jlay, s, meta["window"], slots, meta["n_free"], meta["pts"],
+                meta["okf"], meta["ofe"], meta["p_idx"], view_pids,
+                view_p_idx, lmeta["lids"], lmeta["wk"], lmeta["wd"],
+                lmeta["l_idx"])
+            buf = jax.device_put(buf_np)
+            result, view = mapper_fast.joint_ba_view_cached(
+                self.cam, jlay, self.cache.arrays, buf, self._lut_dev,
+                float(self.cfg.line.gamma))
+            result.copy_to_host_async()
+            self._pending_ba = dict(kind="joint", result=result, meta=meta,
+                                    lmeta=lmeta, kf_id=kf_id)
+        else:
+            buf_np = mapper_fast.pack_ba(
+                lay, s, meta["window"], slots, meta["n_free"], meta["pts"],
+                meta["okf"], meta["ofe"], meta["p_idx"], view_pids,
+                view_p_idx)
+            buf = jax.device_put(buf_np)
+            result, view = mapper_fast.ba_view_cached(
+                self.cam, lay, self.cache.arrays, buf, self._lut_dev)
+            result.copy_to_host_async()
+            self._pending_ba = dict(kind="points", result=result, meta=meta,
+                                    kf_id=kf_id)
         self.stage_times["dispatch_ba"] = self.stage_times.get(
             "dispatch_ba", 0.0) + (_time.perf_counter() - t0)
         vp = np.concatenate([
@@ -450,8 +427,36 @@ class LocalMapper:
         s = self.store
         meta = rec["meta"]
         buf = np.asarray(rec["result"])
-        poses, points, keep = ba.unpack_local_ba_np(
-            buf, self.k_cap, meta["p_bkt"])
+        K, P = self.k_cap, meta["p_bkt"]
+        if rec.get("kind") == "joint":
+            o = 0
+            poses = buf[o:o + 16 * K].view(np.float32).reshape(K, 4, 4)
+            o += 16 * K
+            points = buf[o:o + 3 * P].view(np.float32).reshape(P, 3)
+            o += 3 * P
+            LC = self.l_cap
+            X0n = buf[o:o + 3 * LC].view(np.float32).reshape(LC, 3)
+            o += 3 * LC
+            dn = buf[o:o + 3 * LC].view(np.float32).reshape(LC, 3)
+            o += 3 * LC
+            O_cap = self._o_bkt(P)
+            keep = buf[o:o + O_cap].astype(bool); o += O_cap
+            keep_l = buf[o:o + self.lo_cap].astype(bool)
+            lmeta = rec["lmeta"]
+            lids = lmeta["lids"]
+            if len(lids):
+                X0w = X0n[: len(lids)]
+                dw = dn[: len(lids)]
+                fin = np.isfinite(X0w).all(-1) & np.isfinite(dw).all(-1)
+                s.ln_x0[lids[fin]] = X0w[fin]
+                s.ln_dir[lids[fin]] = dw[fin]
+            Ol = lmeta["n_lobs"]
+            badl = ~keep_l[:Ol]
+            if badl.any():
+                s.kf_ln_ids[meta["window"][lmeta["wk"][badl]],
+                            lmeta["wd"][badl]] = -1
+        else:
+            poses, points, keep = ba.unpack_local_ba_np(buf, K, P)
         window, n_free, pts = meta["window"], meta["n_free"], meta["pts"]
         s.kf_pose[window[:n_free]] = poses[:n_free]
         s.pt_pos[pts] = points[: len(pts)]
@@ -597,62 +602,9 @@ class LocalMapper:
             return None
         return meta
 
-    def _build_problem_legacy(self, kf_id: int):
-        """Assemble the padded BAProblem with full uploads (joint line BA
-        path; cited divergences as in _window_and_obs)."""
-        s = self.store
-        meta = self._window_and_obs(kf_id)
-        window = meta["window"]
-        okf, ofe, kf_abs = meta["okf"], meta["ofe"], meta["kf_abs"]
-        p_idx, pts, p_bkt = meta["p_idx"], meta["pts"], meta["p_bkt"]
-        o_bkt = self._o_bkt(p_bkt)
-        uv = s.kf_xy[kf_abs, ofe]
-        ur = s.kf_ur[kf_abs, ofe]
-        uvr = np.concatenate([uv, ur[:, None]], -1).astype(np.float32)
-        inv_s2 = self._inv_sigma2[s.kf_oct[kf_abs, ofe]]
-        is_st = ur >= 0
-        O = len(okf)
-        K, P = self.k_cap, p_bkt
-
-        def padk(a, fill=0):
-            return np.concatenate(
-                [a, np.full((K - len(a),) + a.shape[1:], fill, a.dtype)])
-
-        def pado(a, fill=0):
-            return np.concatenate(
-                [a, np.full((o_bkt - O,) + a.shape[1:], fill, a.dtype)])
-
-        poses = padk(s.kf_pose[window])
-        poses[len(window):] = np.eye(4, dtype=np.float32)
-        pose_fixed = np.ones(K, bool)
-        pose_fixed[: meta["n_free"]] = False
-        points = np.concatenate(
-            [s.pt_pos[pts], np.zeros((P - len(pts), 3), np.float32)])
-        point_valid = np.concatenate(
-            [s.pt_valid[pts], np.zeros(P - len(pts), bool)])
-        obs = ba.BAObs(
-            k=jnp.asarray(pado(okf)),
-            p=jnp.asarray(pado(p_idx)),
-            uvr=jnp.asarray(pado(uvr)),
-            inv_sigma2=jnp.asarray(pado(inv_s2.astype(np.float32), 1.0)),
-            is_stereo=jnp.asarray(pado(is_st)),
-            valid=jnp.asarray(pado(np.ones(O, bool))),
-        )
-        problem = ba.BAProblem(
-            poses=jnp.asarray(poses),
-            points=jnp.asarray(points),
-            pose_fixed=jnp.asarray(pose_fixed),
-            point_valid=jnp.asarray(point_valid),
-            obs=obs,
-        )
-        return problem, meta
-
-    def _build_line_obs(self, window):
-        """Line half of the BA window: lines seen by window KFs + padded
-        observation table (lines_ba.LineBAObs)."""
-        from ..geometry import lines as glines
-        from ..optim import lines_ba
-
+    def _line_obs_np(self, window):
+        """Line half of the BA window (numpy): lines seen by window KFs +
+        observation index triples for the packed joint buffer."""
         s = self.store
         lids = np.unique(s.kf_ln_ids[window])
         lids = lids[lids >= 0]
@@ -669,81 +621,10 @@ class LocalMapper:
             wk.astype(np.int64) * s.max_ln + s.kf_ln_ids[window[wk], wd],
             return_index=True)
         wk, wd = wk[np.sort(first)], wd[np.sort(first)]
-        kf_abs = window[wk]
-        l_idx = ln_lut[s.kf_ln_ids[kf_abs, wd]]
+        l_idx = ln_lut[s.kf_ln_ids[window[wk], wd]]
         O = min(len(wk), self.lo_cap)
         if len(wk) > O:
             self.stage_times["ln_obs_dropped"] = self.stage_times.get(
                 "ln_obs_dropped", 0) + (len(wk) - O)
-        wk, wd, kf_abs, l_idx = wk[:O], wd[:O], kf_abs[:O], l_idx[:O]
-
-        def pad(a, fill=0):
-            out = np.full((self.lo_cap,) + a.shape[1:], fill, a.dtype)
-            out[:O] = a
-            return out
-
-        lobs = lines_ba.LineBAObs(
-            k=jnp.asarray(pad(wk.astype(np.int32))),
-            l=jnp.asarray(pad(l_idx.astype(np.int32))),
-            x1l=jnp.asarray(pad(s.kf_ln_p1[kf_abs, wd])),
-            x2l=jnp.asarray(pad(s.kf_ln_p2[kf_abs, wd])),
-            x1r=jnp.asarray(pad(s.kf_ln_p1r[kf_abs, wd])),
-            x2r=jnp.asarray(pad(s.kf_ln_p2r[kf_abs, wd])),
-            octave=jnp.asarray(pad(s.kf_ln_oct[kf_abs, wd])),
-            has_r=jnp.asarray(pad(s.kf_ln_has_r[kf_abs, wd])),
-            valid=jnp.asarray(np.arange(self.lo_cap) < O),
-        )
-        LC = self.l_cap
-        x0 = np.zeros((LC, 3), np.float32)
-        dr = np.tile(np.array([1, 0, 0], np.float32), (LC, 1))
-        x0[:L] = s.ln_x0[lids]
-        dr[:L] = s.ln_dir[lids]
-        q, alpha = glines.minimal_from_x0dir(jnp.asarray(x0), jnp.asarray(dr))
-        line_valid = np.zeros(LC, bool)
-        line_valid[:L] = True
-        meta = dict(lids=lids, kf_abs=kf_abs, wd=wd, n_lobs=O)
-        return q, alpha, jnp.asarray(line_valid), lobs, meta
-
-    def _local_ba_joint(self, problem, meta):
-        """Joint point+line window BA (lines_ba.local_joint_ba) writeback."""
-        from ..geometry import lines as glines
-        from ..optim import lines_ba
-
-        s = self.store
-        window, n_free, pts = meta["window"], meta["n_free"], meta["pts"]
-        q, alpha, line_valid, lobs, lmeta = self._build_line_obs(window)
-        joint = lines_ba.JointProblem(
-            base=problem, q=q, alpha=alpha, line_valid=line_valid, lobs=lobs)
-        gamma = float(self.cfg.line.gamma)
-        buf = np.asarray(lines_ba.local_joint_ba_packed(
-            self.cam, joint, gamma))
-        poses, points, q2, a2, keep_p, keep_l = \
-            lines_ba.unpack_local_joint_np(
-                buf, self.k_cap, meta["p_bkt"], self.l_cap,
-                3 * meta["p_bkt"])
-
-        s.kf_pose[window[:n_free]] = poses[:n_free]
-        s.pt_pos[pts] = points[: len(pts)]
-        lids = lmeta["lids"]
-        if len(lids):
-            X0, d = glines.x0dir_from_minimal(jnp.asarray(q2),
-                                              jnp.asarray(a2))
-            X0 = np.asarray(X0)[: len(lids)]
-            d = np.asarray(d)[: len(lids)]
-            fin = np.isfinite(X0).all(-1) & np.isfinite(d).all(-1)
-            s.ln_x0[lids[fin]] = X0[fin]
-            s.ln_dir[lids[fin]] = d[fin]
-        # outlier erasure, both classes
-        O = meta["n_obs"]
-        bad = ~keep_p[:O]
-        if bad.any():
-            s.kf_pt_ids[meta["kf_abs"][bad], meta["ofe"][bad]] = -1
-            s.mark_obs_dirty()
-            dead_cand = np.unique(pts[np.unique(meta["p_idx"][:O][bad])])
-            if len(dead_cand):
-                s.refresh_obs_counts()
-                s.remove_points(dead_cand[s.pt_nobs[dead_cand] == 0])
-        Ol = lmeta["n_lobs"]
-        badl = ~keep_l[:Ol]
-        if badl.any():
-            s.kf_ln_ids[lmeta["kf_abs"][badl], lmeta["wd"][badl]] = -1
+        wk, wd, l_idx = wk[:O], wd[:O], l_idx[:O]
+        return dict(lids=lids, wk=wk, wd=wd, l_idx=l_idx, n_lobs=O)

@@ -323,6 +323,149 @@ def ba_view_cached(cam: StereoCamera, layout: BaLayout, cache: CacheArrays,
 
 
 # ---------------------------------------------------------------------------
+# joint point+line BA (LLD's differentiator): base BA buffer + line block
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class JointBaLayout:
+    """BaLayout extended with the map-line block (AddLineMinimal local BA,
+    reference src/Optimizer.cc:936-1388 line edges + src/LineOptimizer)."""
+
+    base: BaLayout
+    l_cap: int
+    lo_cap: int
+    desc_dim: int = 40  # unused in BA; kept for layout symmetry
+
+    @property
+    def offsets(self):
+        o = dict(self.base.offsets)
+        c = o.pop("_total")
+        LC, LO = self.l_cap, self.lo_cap
+        for name, size in (
+            ("ln_x0", LC * 3), ("ln_dir", LC * 3), ("ln_valid", LC),
+            ("lo_kl", LO),      # k * 4096 + line index
+            ("lo_x", LO * 8),   # x1l x2l x1r x2r (4 endpoints x 2)
+            ("lo_oct", LO), ("lo_hasr", LO), ("lo_n", 1),
+        ):
+            o[name] = c
+            c += size
+        o["_total"] = c
+        return o
+
+
+def pack_joint_ba(layout: JointBaLayout, store, window, slots, n_free, pts,
+                  okf, ofe, p_idx, view_pids, view_p_idx,
+                  lids: np.ndarray, lo_wk: np.ndarray, lo_wd: np.ndarray,
+                  lo_lidx: np.ndarray) -> np.ndarray:
+    base = pack_ba(layout.base, store, window, slots, n_free, pts, okf, ofe,
+                   p_idx, view_pids, view_p_idx)
+    LC, LO = layout.l_cap, layout.lo_cap
+    s = store
+    x0 = np.zeros((LC, 3), np.float32)
+    dr = np.tile(np.array([1, 0, 0], np.float32), (LC, 1))
+    lv = np.zeros(LC, np.int32)
+    L = len(lids)
+    x0[:L] = s.ln_x0[lids]
+    dr[:L] = s.ln_dir[lids]
+    lv[:L] = 1
+    O = len(lo_wk)
+    kl = np.zeros(LO, np.int32)
+    kl[:O] = lo_wk.astype(np.int32) * 4096 + lo_lidx.astype(np.int32)
+    kf_abs = window[lo_wk] if O else np.zeros(0, np.int64)
+    xs = np.zeros((LO, 8), np.float32)
+    oct_ = np.zeros(LO, np.int32)
+    hasr = np.zeros(LO, np.int32)
+    if O:
+        xs[:O, 0:2] = s.kf_ln_p1[kf_abs, lo_wd]
+        xs[:O, 2:4] = s.kf_ln_p2[kf_abs, lo_wd]
+        xs[:O, 4:6] = s.kf_ln_p1r[kf_abs, lo_wd]
+        xs[:O, 6:8] = s.kf_ln_p2r[kf_abs, lo_wd]
+        oct_[:O] = s.kf_ln_oct[kf_abs, lo_wd]
+        hasr[:O] = s.kf_ln_has_r[kf_abs, lo_wd]
+    return np.concatenate([
+        base, _bc_f(x0), _bc_f(dr), lv, kl, _bc_f(xs), oct_, hasr,
+        np.array([O], np.int32)])
+
+
+@partial(jax.jit, static_argnames=("cam", "layout", "gamma"))
+def joint_ba_view_cached(cam: StereoCamera, layout: JointBaLayout,
+                         cache: CacheArrays, buf: jnp.ndarray,
+                         inv_sigma2_lut: jnp.ndarray, gamma: float):
+    """Joint point+line windowed BA with cache-gathered point observations
+    and on-device view assembly. Returns (result_buf as
+    lines_ba.local_joint_ba_packed, MapPointView)."""
+    from ..geometry import lines as glines
+    from ..optim import ba, lines_ba
+
+    bl = layout.base
+    K, P, O, V = bl.k_cap, bl.p_bkt, bl.o_bkt, bl.tv_cap
+    o = layout.offsets
+    slots = _slice_i(buf, o["slots"], (K,))
+    poses = _slice_f(buf, o["poses"], (K, 4, 4))
+    fixed = _slice_i(buf, o["fixed"], (K,)) > 0
+    points = _slice_f(buf, o["points"], (P, 3))
+    pvalid = _slice_i(buf, o["pvalid"], (P,)) > 0
+    obs_kfe = _slice_i(buf, o["obs_kfe"], (O,))
+    obs_p = _slice_i(buf, o["obs_p"], (O,))
+    n_obs = _slice_i(buf, o["obs_n"], (1,))[0]
+    tv_pidx = _slice_i(buf, o["tv_pidx"], (V,))
+    tv = unpack_view(buf, o["tv_view"], V)
+    LC, LO = layout.l_cap, layout.lo_cap
+    ln_x0 = _slice_f(buf, o["ln_x0"], (LC, 3))
+    ln_dir = _slice_f(buf, o["ln_dir"], (LC, 3))
+    ln_valid = _slice_i(buf, o["ln_valid"], (LC,)) > 0
+    lo_kl = _slice_i(buf, o["lo_kl"], (LO,))
+    lo_x = _slice_f(buf, o["lo_x"], (LO, 8))
+    lo_oct = _slice_i(buf, o["lo_oct"], (LO,))
+    lo_hasr = _slice_i(buf, o["lo_hasr"], (LO,)) > 0
+    lo_n = _slice_i(buf, o["lo_n"], (1,))[0]
+
+    obs_k = obs_kfe // 8192
+    obs_fe = obs_kfe % 8192
+    slot = slots[obs_k]
+    uv = cache.xy[slot, obs_fe]
+    ur = cache.ur[slot, obs_fe]
+    oct_ = cache.octave[slot, obs_fe]
+    obs = ba.BAObs(
+        k=obs_k, p=obs_p,
+        uvr=jnp.concatenate([uv, ur[:, None]], -1),
+        inv_sigma2=inv_sigma2_lut[oct_],
+        is_stereo=ur >= 0,
+        valid=jnp.arange(O) < n_obs,
+    )
+    problem = ba.BAProblem(poses=poses, points=points, pose_fixed=fixed,
+                           point_valid=pvalid, obs=obs)
+    q, alpha = glines.minimal_from_x0dir(ln_x0, ln_dir)
+    lobs = lines_ba.LineBAObs(
+        k=lo_kl // 4096, l=lo_kl % 4096,
+        x1l=lo_x[:, 0:2], x2l=lo_x[:, 2:4],
+        x1r=lo_x[:, 4:6], x2r=lo_x[:, 6:8],
+        octave=lo_oct, has_r=lo_hasr,
+        valid=jnp.arange(LO) < lo_n,
+    )
+    joint = lines_ba.JointProblem(base=problem, q=q, alpha=alpha,
+                                  line_valid=ln_valid, lobs=lobs)
+    solved, keep_p, keep_l = lines_ba.local_joint_ba(cam, joint, gamma)
+    X0n, dn = glines.x0dir_from_minimal(solved.q, solved.alpha)
+    bcast = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+    result = jnp.concatenate([
+        bcast(solved.base.poses.reshape(-1)),
+        bcast(solved.base.points.reshape(-1)),
+        bcast(X0n.reshape(-1)),
+        bcast(dn.reshape(-1)),
+        keep_p.astype(jnp.int32),
+        keep_l.astype(jnp.int32),
+    ])
+    in_ba = tv_pidx >= 0
+    pos = jnp.where(in_ba[:, None],
+                    solved.base.points[jnp.maximum(tv_pidx, 0)], tv.pos)
+    view = matching.MapPointView(pos=pos, desc=tv.desc, normal=tv.normal,
+                                 min_dist=tv.min_dist, max_dist=tv.max_dist,
+                                 valid=tv.valid)
+    return result, view
+
+
+# ---------------------------------------------------------------------------
 # cache backfill: upload an un-cached keyframe's features in one transfer
 # ---------------------------------------------------------------------------
 

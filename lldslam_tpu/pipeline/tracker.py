@@ -210,6 +210,55 @@ def _track_core(
     return packed, X2, final_ok, T2
 
 
+@partial(jax.jit, static_argnames=("cam", "n_levels", "scale", "min_mm",
+                                   "close_depth", "gamma", "md_thr"))
+def _track_step_chained_lines(
+    cam: StereoCamera,
+    T_prev: jnp.ndarray,
+    vel_prev: jnp.ndarray,
+    last_feats: matching.FrameFeatures,
+    last_ptpos: jnp.ndarray,
+    last_haspt: jnp.ndarray,
+    cur: matching.FrameFeatures,
+    depth: jnp.ndarray,
+    view: matching.MapPointView,
+    inv_sigma2_lut: jnp.ndarray,
+    ln_x0, ln_d, ln_desc, ln_oct, ln_valid,   # padded map-line view
+    fl,                                        # line_match.FrameLines
+    n_levels: int,
+    scale: float,
+    min_mm: int,
+    close_depth: float,
+    gamma: float,
+    md_thr: float,
+):
+    """Pipelined variant WITH the line pipeline chained in: point tracking,
+    then line association + joint point/line pose refinement
+    (AddLinesFrom + line edges of PoseOptimization, reference
+    Tracking.cc:996-1124 / Optimizer.cc:653-931) as ONE device program.
+    The packed buffer appends [det2ln (Ld,), n_line] and carries the
+    line-refined pose T3."""
+    T_pred = vel_prev @ T_prev
+    packed, X2, ok, T2 = _track_core(
+        cam, T_pred, last_feats, last_ptpos, last_haspt, cur, depth, view,
+        inv_sigma2_lut, n_levels, scale, min_mm, close_depth)
+    obs = jnp.concatenate([cur.xy, cur.ur[:, None]], axis=-1)
+    pobs = pose_opt.PointPoseObs(
+        X=X2, obs=obs, inv_sigma2=inv_sigma2_lut[cur.octave],
+        is_stereo=cur.ur >= 0, valid=ok)
+    T3, det2ln, n_line = _line_step(
+        cam, T2, ln_x0, ln_d, ln_desc, ln_oct, ln_valid, fl, pobs,
+        gamma, md_thr)
+    vel2 = T3 @ jnp.linalg.inv(T_prev)
+    packed = jnp.concatenate([
+        jax.lax.bitcast_convert_type(T3.reshape(-1), jnp.int32),
+        packed[16:],
+        det2ln.astype(jnp.int32),
+        n_line.astype(jnp.int32)[None],
+    ])
+    return packed, X2, ok, T3, vel2
+
+
 @partial(jax.jit, static_argnames=("cam", "gamma", "md_thr"))
 def _line_step(
     cam: StereoCamera,
@@ -252,6 +301,48 @@ def _line_step(
 def _unpack_view_dev(buf: jnp.ndarray, cap: int):
     from . import mapper_fast
     return mapper_fast.unpack_view(buf, 0, cap)
+
+
+@partial(jax.jit, static_argnames=("cap", "d"))
+def _unpack_line_view(buf: jnp.ndarray, cap: int, d: int):
+    from .mapper_fast import _slice_f, _slice_i
+    o = 0
+    x0 = _slice_f(buf, o, (cap, 3)); o += 3 * cap
+    dr = _slice_f(buf, o, (cap, 3)); o += 3 * cap
+    de = _slice_f(buf, o, (cap, d)); o += d * cap
+    oc = _slice_i(buf, o, (cap,)); o += cap
+    va = _slice_i(buf, o, (cap,)) > 0
+    return x0, dr, de, oc, va
+
+
+@jax.jit
+def _pack_frame_lines(fl) -> jnp.ndarray:
+    """Flatten the per-frame line state the keyframe snapshot needs into ONE
+    int32 buffer (the round-2 path read 10 leaves = 10 link round trips)."""
+    bc = lambda a: jax.lax.bitcast_convert_type(
+        a.astype(jnp.float32).reshape(-1), jnp.int32)
+    return jnp.concatenate([
+        bc(fl.kl.p1), bc(fl.kl.p2), bc(fl.p1_r), bc(fl.p2_r),
+        fl.has_stereo.astype(jnp.int32), fl.kl.octave.astype(jnp.int32),
+        bc(fl.kl.desc), fl.kl.valid.astype(jnp.int32),
+        bc(fl.X0), bc(fl.d),
+    ])
+
+
+def _unpack_frame_lines_np(buf: np.ndarray, L: int, D: int):
+    o = 0
+    p1 = buf[o:o + 2 * L].view(np.float32).reshape(L, 2); o += 2 * L
+    p2 = buf[o:o + 2 * L].view(np.float32).reshape(L, 2); o += 2 * L
+    p1r = buf[o:o + 2 * L].view(np.float32).reshape(L, 2); o += 2 * L
+    p2r = buf[o:o + 2 * L].view(np.float32).reshape(L, 2); o += 2 * L
+    has_r = buf[o:o + L].astype(bool); o += L
+    octave = buf[o:o + L].copy(); o += L
+    desc = buf[o:o + D * L].view(np.float32).reshape(L, D); o += D * L
+    valid = buf[o:o + L].astype(bool); o += L
+    X0 = buf[o:o + 3 * L].view(np.float32).reshape(L, 3); o += 3 * L
+    d = buf[o:o + 3 * L].view(np.float32).reshape(L, 3)
+    return dict(p1=p1, p2=p2, p1r=p1r, p2r=p2r, has_r=has_r, octave=octave,
+                desc=desc, valid=valid, X0=X0, d=d)
 
 
 @dataclass
@@ -413,8 +504,10 @@ class StereoTracker:
         return jax.device_put(np.stack([img_l, img_r]))
 
     def process(self, img_l: np.ndarray, img_r: np.ndarray,
-                timestamp: float = 0.0, pair_dev=None):
-        """Track one stereo pair; returns (T_cw (4,4) np, TrackMetrics)."""
+                timestamp: float = 0.0, pair_dev=None, lines_dev=None):
+        """Track one stereo pair; returns (T_cw (4,4) np, TrackMetrics).
+        `lines_dev` optionally passes pre-staged (KeyLines, KeyLines) from
+        io.stored_lines.stage_stored_pair, overriding the stored source."""
         import time as _time
         self.frame_id += 1
         m = TrackMetrics(frame_id=self.frame_id)
@@ -424,9 +517,13 @@ class StereoTracker:
         fd = build_frame_pair(pair_dev, self.cam, self.orb)
         if self.enable_lines:
             from ..frontend import line_extract, line_match
-            if self._line_source is not None:
-                kld = self._line_source[0].frame(self.frame_id)
-                krd = self._line_source[1].frame(self.frame_id)
+            if lines_dev is not None:
+                kld, krd = lines_dev
+            elif self._line_source is not None:
+                from ..io.stored_lines import stage_stored_pair
+                kld, krd = stage_stored_pair(
+                    self._line_source[0], self._line_source[1],
+                    self.frame_id)
             else:
                 kld = line_extract.detect_lines(pair_dev[0], self.line_cfg)
                 krd = line_extract.detect_lines(pair_dev[1], self.line_cfg)
@@ -554,8 +651,7 @@ class StereoTracker:
     def _process_fd(self, fd: FrameData, timestamp: float, m: TrackMetrics):
         import time as _time
         if self.pipeline and self.state == TrackState.OK \
-                and not self.enable_lines and not self._mono \
-                and not self.localization_only:
+                and not self._mono and not self.localization_only:
             return self._process_pipelined(fd, timestamp, m)
         self.flush()
         t0 = _time.perf_counter()
@@ -600,17 +696,32 @@ class StereoTracker:
             self._resync = False
         t0 = _time.perf_counter()
         prev = (self._last_feats, self._last_ptpos, self._last_haspt)
-        out = _track_step_chained(
-            self.cam, self._dev_T, self._dev_vel, self._last_feats,
-            self._last_ptpos, self._last_haspt, fd.feats, fd.depth,
-            self._view, self._inv_sigma2_lut, self.orb.n_levels,
-            self.orb.scale, self.cfg.tracking.min_motion_matches,
-            float(self.cfg.close_depth))
+        with_lines = (self.enable_lines and self._line_view is not None
+                      and self._cur_fl is not None)
+        if with_lines:
+            out = _track_step_chained_lines(
+                self.cam, self._dev_T, self._dev_vel, self._last_feats,
+                self._last_ptpos, self._last_haspt, fd.feats, fd.depth,
+                self._view, self._inv_sigma2_lut, *self._line_view,
+                self._cur_fl, self.orb.n_levels, self.orb.scale,
+                self.cfg.tracking.min_motion_matches,
+                float(self.cfg.close_depth), float(self.cfg.line.gamma),
+                float(self._md_gate))
+        else:
+            out = _track_step_chained(
+                self.cam, self._dev_T, self._dev_vel, self._last_feats,
+                self._last_ptpos, self._last_haspt, fd.feats, fd.depth,
+                self._view, self._inv_sigma2_lut, self.orb.n_levels,
+                self.orb.scale, self.cfg.tracking.min_motion_matches,
+                float(self.cfg.close_depth))
         out[0].copy_to_host_async()
         m.t_dispatch = _time.perf_counter() - t0
         rec = dict(fd=fd, out=out, ts=timestamp, m=m, fid=self.frame_id,
                    view_pid=self._view_pid,
                    view_cap=len(self._view_pid), prev=prev)
+        if with_lines:
+            rec["fl"] = self._cur_fl
+            rec["line_view_ids"] = self._line_view_ids
         self._dev_T, self._dev_vel = out[3], out[4]
         self._last_feats = fd.feats
         self._last_ptpos, self._last_haspt = out[1], out[2]
@@ -691,6 +802,7 @@ class StereoTracker:
             # predecessor was itself finalized synchronously, so _last_*
             # already hold ITS corrected state — do not restore rec["prev"],
             # which still points at the poisoned device chain.
+            self._cur_fl = rec.get("fl")
             if self.state == TrackState.NOT_INITIALIZED:
                 # a full reset happened while this frame was in flight
                 # (Tracking.cc:482-488): it becomes the reinit candidate
@@ -705,6 +817,12 @@ class StereoTracker:
         t_g = _time.perf_counter()
         packed = jax.device_get(out[0])
         m.t_get = _time.perf_counter() - t_g
+        has_lines = "fl" in rec
+        if has_lines:
+            ld = self.store.n_ln_det
+            det2ln = packed[-(ld + 1):-1]
+            n_line = int(packed[-1])
+            packed = packed[:-(ld + 1)]
         (T_np, n_mm, n_in, tracked_close, untracked_close, n_kp, n_st,
          kp2last, kp2pt_l, ok, in_frustum) = self._unpack(
              packed, rec["view_cap"])
@@ -718,12 +836,21 @@ class StereoTracker:
             # frame
             self._resync = True
             self._last_feats, self._last_ptpos, self._last_haspt = rec["prev"]
+            self._cur_fl = rec.get("fl")
             self._track(rec["fd"], rec["ts"], m, fid=rec["fid"])
             m.t_step = _time.perf_counter() - t0 - m.t_kf
             self._finish_metrics(m)
             return self.T_cw.copy(), m
 
         m.n_inliers = n_in
+        self._cur_det2ln = None
+        if has_lines:
+            self._cur_fl = rec["fl"]
+            self._cur_det2ln = np.where(
+                det2ln >= 0,
+                rec["line_view_ids"][np.maximum(det2ln, 0)],
+                -1).astype(np.int32)
+            m.n_line_matches = n_line
         pid = rec["view_pid"]
         kp2pt = np.where(
             kp2pt_l >= 0, pid[np.maximum(kp2pt_l, 0)],
@@ -865,7 +992,8 @@ class StereoTracker:
 
     def _refresh_line_view(self):
         """Padded device view of the local map lines (lines observed by the
-        local keyframes), refreshed at keyframe rate like the point view."""
+        local keyframes), refreshed at keyframe rate like the point view —
+        packed into ONE host->device transfer."""
         s = self.store
         cap = self.line_view_cap
         if self.ref_kf >= 0:
@@ -875,6 +1003,9 @@ class StereoTracker:
             ids = ids[ids >= 0]
             ids = ids[s.ln_valid[ids]]
             if len(ids) > cap:
+                self.mapper.stage_times["line_view_dropped"] = \
+                    self.mapper.stage_times.get("line_view_dropped", 0) \
+                    + (len(ids) - cap)
                 ids = ids[-cap:]
         else:
             ids = np.zeros(0, np.int32)
@@ -882,13 +1013,19 @@ class StereoTracker:
         pad = cap - P
         self._line_view_ids = np.concatenate([ids, np.full(pad, -1, np.int32)])
         D = s.ln_desc.shape[1]
-        self._line_view = (
-            jnp.asarray(np.concatenate([s.ln_x0[ids], np.zeros((pad, 3), np.float32)])),
-            jnp.asarray(np.concatenate([s.ln_dir[ids], np.tile(np.array([1, 0, 0], np.float32), (pad, 1))])),
-            jnp.asarray(np.concatenate([s.ln_desc[ids], np.zeros((pad, D), np.float32)])),
-            jnp.asarray(np.concatenate([s.ln_oct[ids], np.zeros(pad, np.int32)])),
-            jnp.asarray(np.concatenate([np.ones(P, bool), np.zeros(pad, bool)])),
-        )
+        bc = lambda a: np.ascontiguousarray(a, np.float32).reshape(-1).view(np.int32)
+        x0 = np.concatenate([s.ln_x0[ids], np.zeros((pad, 3), np.float32)])
+        dr = np.concatenate([s.ln_dir[ids],
+                             np.tile(np.array([1, 0, 0], np.float32),
+                                     (pad, 1))])
+        de = np.concatenate([s.ln_desc[ids], np.zeros((pad, D), np.float32)])
+        buf = jax.device_put(np.concatenate([
+            bc(x0), bc(dr), bc(de),
+            np.concatenate([s.ln_oct[ids],
+                            np.zeros(pad, np.int32)]).astype(np.int32),
+            np.concatenate([np.ones(P, np.int32), np.zeros(pad, np.int32)]),
+        ]))
+        self._line_view = _unpack_line_view(buf, cap, D)
 
     def _refresh_local_view(self):
         """Rebuild the padded MapPointView over the local map
@@ -1272,6 +1409,8 @@ class StereoTracker:
                 self._pending_loop = (kf, self.loop_closer.dispatch_bow(
                     fd.feats.desc, fd.feats.valid))
             self._refresh_ref_matches()
+            if self.enable_lines:
+                self._refresh_line_view()
             self.kf_timings.append(
                 dict(mapper=_time.perf_counter() - t0, loop=0.0, view=0.0))
             return False
@@ -1305,14 +1444,12 @@ class StereoTracker:
         -> new MapLine path, Tracking.cc:1449-1611 intent), and cull."""
         s = self.store
         fl = self._cur_fl
-        lines_np = {
-            "p1": np.asarray(fl.kl.p1), "p2": np.asarray(fl.kl.p2),
-            "p1r": np.asarray(fl.p1_r), "p2r": np.asarray(fl.p2_r),
-            "has_r": np.asarray(fl.has_stereo),
-            "octave": np.asarray(fl.kl.octave),
-            "desc": np.asarray(fl.kl.desc),
-            "valid": np.asarray(fl.kl.valid),
-        }
+        snap = _unpack_frame_lines_np(
+            np.asarray(_pack_frame_lines(fl)), s.n_ln_det,
+            s.ln_desc.shape[1])
+        lines_np = {k: snap[k] for k in
+                    ("p1", "p2", "p1r", "p2r", "has_r", "octave", "desc",
+                     "valid")}
         det2ln = (self._cur_det2ln if self._cur_det2ln is not None
                   else np.full(s.n_ln_det, -1, np.int32))
         s.add_keyframe_lines(kf, lines_np, det2ln.copy())
@@ -1323,9 +1460,10 @@ class StereoTracker:
         lengths = np.linalg.norm(lines_np["p2"] - lines_np["p1"], axis=-1)
         newsel = np.nonzero(lines_np["valid"] & lines_np["has_r"]
                             & (det2ln < 0) & (lengths >= 40.0))[0]
-        if len(newsel) and s.n_ln + len(newsel) <= s.max_ln:
-            X0c = np.asarray(fl.X0)[newsel]
-            dc = np.asarray(fl.d)[newsel]
+        newsel = newsel[: s.room_for_lines(len(newsel))]
+        if len(newsel):
+            X0c = snap["X0"][newsel]
+            dc = snap["d"][newsel]
             T_wc = np.linalg.inv(self.T_cw)
             Pw = (T_wc[:3, :3] @ X0c.T).T + T_wc[:3, 3]
             dw = (T_wc[:3, :3] @ dc.T).T

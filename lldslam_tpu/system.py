@@ -76,13 +76,14 @@ class System:
 
     # -- frame input (System::TrackStereo/TrackRGBD, System.cc:121-194) --
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,
-                     timestamp: float = 0.0, pair_dev=None):
+                     timestamp: float = 0.0, pair_dev=None, lines_dev=None):
         """Returns (T_cw (4,4), per-frame metrics). `pair_dev` optionally
         passes a device-staged stacked pair from `stage_stereo` — staging a
         few frames ahead overlaps the host->device transfer with tracking
-        (the TPU-native analogue of the reference's image-read thread)."""
+        (the TPU-native analogue of the reference's image-read thread).
+        `lines_dev` likewise pre-stages stored line detections."""
         return self.tracker.process(img_l, img_r, timestamp,
-                                    pair_dev=pair_dev)
+                                    pair_dev=pair_dev, lines_dev=lines_dev)
 
     def stage_stereo(self, img_l: np.ndarray, img_r: np.ndarray):
         """Stage one stereo pair in device memory (one stacked async upload);

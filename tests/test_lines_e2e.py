@@ -110,3 +110,53 @@ def test_point_line_pipeline():
     gt_wc = np.stack([np.linalg.inv(g) for g in gt])
     ate = ate_rmse(T_wc, gt_wc, align=False)
     assert ate < 0.12, f"ATE {ate:.3f} m with lines enabled"
+
+
+@pytest.mark.slow
+def test_point_line_pipeline_pipelined():
+    """Lines run inside the pipelined (lag-N) tracker: the line association
+    + joint pose refinement is chained into the per-frame device program
+    (_track_step_chained_lines), and the joint point+line local BA runs on
+    the staged packed path."""
+    rng = np.random.default_rng(21)
+    pts, patches = _make_world(rng, n=300)
+    segs = _segs3d(rng)
+    cam_cfg = CameraConfig(fx=400.0, fy=400.0, cx=W / 2, cy=H / 2, bf=200.0,
+                           fps=10.0, width=W, height=H)
+    cfg = SlamConfig(
+        camera=cam_cfg,
+        orb=OrbConfig(n_features=600),
+        line=LineConfig(ld_type="native"),
+        tracking=TrackingConfig(min_init_points=80),
+    )
+    cam = cam_cfg.stereo_camera()
+    n_frames = 14
+    gt = []
+    T = np.eye(4, dtype=np.float32)
+    xi = np.array([0.0, 0.0, -0.25, 0.0, 0.004, 0.0], np.float32)
+    dT = np.asarray(se3.exp(jnp.asarray(xi)))
+    for i in range(n_frames):
+        gt.append(T.copy())
+        T = dT @ T
+    frames = [_render(cam, gt[i], pts, patches, segs)
+              for i in range(n_frames)]
+
+    sync = System(cfg, enable_loops=False)
+    for i, (l, r) in enumerate(frames):
+        sync.track_stereo(l, r, timestamp=i * 0.1)
+    _, T_s = sync.tracker.trajectory()
+
+    pipe = System(cfg, enable_loops=False, pipeline=True)
+    for i, (l, r) in enumerate(frames):
+        Tp, _ = pipe.track_stereo(l, r, timestamp=i * 0.1)
+        assert np.isfinite(Tp).all()
+    pipe.flush()
+    _, T_p = pipe.tracker.trajectory()
+
+    assert len(pipe.tracker.metrics) == n_frames
+    assert pipe.tracker.state.name == "OK"
+    assert pipe.map.n_ln > 0, "no map lines created in pipelined mode"
+    n_line = [m.n_line_matches for m in pipe.tracker.metrics]
+    assert sum(n_line) >= 5, f"line association too rare: {n_line}"
+    dp = np.linalg.norm(T_p[:, :3, 3] - T_s[:, :3, 3], axis=-1)
+    assert dp.max() < 0.25, dp.max()

@@ -4,6 +4,7 @@ Validates the SURVEY.md §5.7/§5.8 scale-out design: observation-sharded
 normal-equation build must produce the same solution as the single-device
 solver (collectives are a layout detail, not a math change)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -146,3 +147,85 @@ def test_dist_schur_two_process():
     for i, (pr, out) in enumerate(zip(procs, outs)):
         assert pr.returncode == 0, f"proc {i} failed:\n{out}"
         assert "DIST OK" in out, f"proc {i} missing DIST OK:\n{out}"
+
+
+@pytest.mark.slow
+def test_global_ba_dist_matches_single():
+    """LoopCloser.global_ba routed through the landmark-sharded dist_schur
+    path (8-device mesh) matches the single-device CG path on the same map
+    (SURVEY.md §5.7 — the distributed solver wired into the system)."""
+    import numpy as np
+    from lldslam_tpu.config import CameraConfig, SlamConfig, TrackingConfig
+    from lldslam_tpu.loop.closing import LoopCloser
+    from lldslam_tpu.loop.bow import Vocabulary
+    from lldslam_tpu.ops.orb import OrbConfig
+    from lldslam_tpu.slammap.map_store import MapStore
+
+    rng = np.random.default_rng(5)
+    cam_cfg = CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=120.0, bf=200.0,
+                           width=640, height=240)
+    cfg = SlamConfig(camera=cam_cfg, orb=OrbConfig(n_features=256),
+                     tracking=TrackingConfig())
+    cam = cam_cfg.stereo_camera()
+
+    def build_store():
+        s = MapStore(cam, cfg.orb)
+        K, P = 6, 500
+        pts = np.stack([rng2.uniform(-8, 8, P), rng2.uniform(-3, 3, P),
+                        rng2.uniform(6, 30, P)], -1).astype(np.float32)
+        for k in range(K):
+            T = np.eye(4, dtype=np.float32)
+            T[2, 3] = -k * 0.4
+            Xc = (T[:3, :3] @ pts.T).T + T[:3, 3]
+            u = cam.fx * Xc[:, 0] / Xc[:, 2] + cam.cx
+            v = cam.fy * Xc[:, 1] / Xc[:, 2] + cam.cy
+            ur = u - cam.bf / Xc[:, 2]
+            vis = (Xc[:, 2] > 1) & (u > 5) & (u < 635) & (v > 5) & (v < 235)
+            sel = np.nonzero(vis)[0][: s.n_kp]
+            feats = dict(
+                xy=np.zeros((s.n_kp, 2), np.float32),
+                ur=np.full(s.n_kp, -1.0, np.float32),
+                octave=np.zeros(s.n_kp, np.int32),
+                angle=np.zeros(s.n_kp, np.float32),
+                desc=rng2.integers(0, 2**32, (s.n_kp, 8),
+                                   dtype=np.uint32),
+                valid=np.zeros(s.n_kp, bool))
+            feats["xy"][: len(sel)] = np.stack([u[sel], v[sel]], -1) \
+                + rng2.normal(0, 0.3, (len(sel), 2))
+            feats["ur"][: len(sel)] = ur[sel]
+            feats["valid"][: len(sel)] = True
+            depth = np.full(s.n_kp, -1.0, np.float32)
+            depth[: len(sel)] = Xc[sel, 2]
+            kf = s.add_keyframe(T, feats, depth,
+                                np.full(s.n_kp, -1, np.int32), k)
+            if k == 0:
+                ids = s.create_points(
+                    kf, np.arange(len(sel)),
+                    (pts[sel] + rng2.normal(0, 0.05, (len(sel), 3))
+                     ).astype(np.float32))
+                first_sel, first_ids = sel, ids
+            else:
+                # re-observe the same world points
+                lut = {int(pp): int(ii)
+                       for pp, ii in zip(first_sel, first_ids)}
+                for j, pp in enumerate(sel):
+                    if int(pp) in lut:
+                        s.kf_pt_ids[kf, j] = lut[int(pp)]
+                s.mark_obs_dirty()
+        s.refresh_obs_counts()
+        return s
+
+    voc = Vocabulary.train(
+        rng.integers(0, 2**32, (512, 8), dtype=np.uint32), k=4, L=2)
+    rng2 = np.random.default_rng(7)
+    s1 = build_store()
+    rng2 = np.random.default_rng(7)
+    s2 = build_store()
+    c1 = LoopCloser(s1, voc, cfg)
+    c2 = LoopCloser(s2, voc, cfg)
+    c1.global_ba(iters=4, cg_iters=16, force_dist=False)
+    c2.global_ba(iters=4, cg_iters=16, force_dist=True)
+    dp = np.abs(s1.kf_pose[:6] - s2.kf_pose[:6]).max()
+    dx = np.abs(s1.pt_pos[:500] - s2.pt_pos[:500]).max()
+    assert dp < 2e-3, dp
+    assert dx < 2e-2, dx

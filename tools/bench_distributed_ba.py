@@ -101,7 +101,7 @@ def main():
         tn = time_solve(problem, dist_schur.make_mesh(n), args.iters, cam)
     eff = t1 / (tn * n) if n > 1 else 1.0
     simulated = devs[0].platform == "cpu"
-    print(json.dumps({
+    out = {
         "metric": "global_ba_iters_per_sec",
         "value": round(1.0 / tn, 3),
         "unit": "iters/s",
@@ -109,7 +109,15 @@ def main():
         "single_device_iters_per_sec": round(1.0 / t1, 3),
         "scaling_efficiency": round(eff, 3),
         "simulated": simulated,
-    }))
+    }
+    if simulated and n > 1:
+        # N virtual devices time-share ONE physical CPU, so the per-device
+        # efficiency ceiling is 1/N (total FLOPs unchanged). The fraction of
+        # that ceiling isolates the collective/partition overhead — the
+        # quantity that transfers to real multi-chip hardware.
+        out["timeshared_ceiling"] = round(1.0 / n, 3)
+        out["of_timeshared_ceiling"] = round(eff * n, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -25,17 +25,43 @@ def log(m):
 
 
 def make_corpus(n_frames: int, seed: int = 0):
-    """Diverse synthetic gray frames: textured-blob scenes at random poses,
-    plus structured (gradient/stripe/checker) and noise backgrounds."""
+    """Diverse synthetic gray frames: rendered 3D corridor worlds (the
+    runtime imagery distribution — bench._make_sequence over many seeds,
+    with and without line structure), textured-blob scenes, and structured
+    (gradient/stripe/checker) and noise backgrounds."""
     import jax.numpy as jnp
+    from bench import _make_sequence
+    from lldslam_tpu.geometry.camera import StereoCamera
     from lldslam_tpu.ops import image, orb
 
     rng = np.random.default_rng(seed)
     H, W = 376, 1241
     cfg = orb.OrbConfig(n_features=2000)
+    cam = StereoCamera(fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
+                       bf=386.1448, width=W, height=H)
     descs, docs = [], []
     t0 = time.time()
+    # half the corpus: rendered corridor worlds, 8 frames per seed
+    n_rendered = n_frames // 2
+    world_frames = []
+    s = 0
+    while len(world_frames) < n_rendered:
+        world_frames.extend(
+            _make_sequence(cam, 8, seed=1000 + s, with_lines=(s % 2 == 0)))
+        s += 1
     for f in range(n_frames):
+        if f < n_rendered:
+            im = world_frames[f][f % 2].astype(np.float32)  # L or R view
+            kp = orb.extract(jnp.asarray(im), cfg)
+            valid = np.asarray(kp.valid)
+            d = np.asarray(kp.desc)[valid]
+            descs.append(d)
+            docs.append(np.full(len(d), f, np.int32))
+            if f % 32 == 0:
+                log(f"  corpus frame {f}/{n_frames} "
+                    f"({sum(len(x) for x in descs)} descs, "
+                    f"{time.time()-t0:.0f}s)")
+            continue
         kind = f % 4
         if kind == 0:  # textured random blobs on flat bg
             im = np.full((H, W), rng.uniform(10, 60), np.float32)
