@@ -99,6 +99,9 @@ class LocalMapper:
         # pending staged work (pipelined mode)
         self._pending_kf: dict | None = None
         self._pending_ba: dict | None = None
+        # when set, the tracking view always pads to this capacity (the
+        # batched multi-sequence driver needs one shape across sequences)
+        self.fixed_tv_cap: int | None = None
 
     # ------------------------------------------------------------------
 
@@ -371,7 +374,8 @@ class LocalMapper:
             return None
         # tracking view selection (UpdateLocalPoints, Tracking.cc:1677-1724)
         view_pids = self._select_view_pids(kf_id)
-        meta["tv_cap"] = 2048 if len(view_pids) <= 2048 else 4096
+        meta["tv_cap"] = self.fixed_tv_cap or (
+            2048 if len(view_pids) <= 2048 else 4096)
         if len(view_pids) > meta["tv_cap"]:
             self.stage_times["view_dropped"] = self.stage_times.get(
                 "view_dropped", 0) + (len(view_pids) - meta["tv_cap"])

@@ -1037,7 +1037,8 @@ class StereoTracker:
         from . import mapper_fast
         s = self.store
         ids = self.mapper._select_view_pids(self.ref_kf)
-        cap = 2048 if len(ids) <= 2048 else 4096
+        cap = self.mapper.fixed_tv_cap or (2048 if len(ids) <= 2048
+                                           else 4096)
         if len(ids) > cap:
             ids = ids[-cap:]  # keep newest (forward motion: recent = visible)
         pad = cap - len(ids)
@@ -1240,6 +1241,14 @@ class StereoTracker:
         t_g0 = _time.perf_counter()
         packed = jax.device_get(out[0])
         m.t_get = _time.perf_counter() - t_g0
+        return self._track_finalize(fd, packed, dev_ptpos, dev_haspt,
+                                    timestamp, m, fid)
+
+    def _track_finalize(self, fd: FrameData, packed, dev_ptpos, dev_haspt,
+                        timestamp: float, m: TrackMetrics, fid: int):
+        """Host half of the synchronous track step, from the packed device
+        readback on (also the per-sequence finalize of the batched
+        multi-sequence driver, parallel/multi_seq.py)."""
         (T_np, n_mm, n_in, tracked_close, untracked_close, n_kp, n_st,
          kp2last, kp2pt_l, ok, in_frustum) = self._unpack(packed)
         m.n_motion_matches = int(n_mm)

@@ -1,6 +1,7 @@
 """Batched multi-sequence tracking step (parallel/multi_seq.py): the vmapped
 step must equal per-sequence results."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -65,3 +66,46 @@ def test_batched_step_matches_individual():
     for s in range(S):
         np.testing.assert_array_equal(np.asarray(batched[0][s]),
                                       np.asarray(singles[s][0]))
+
+
+@pytest.mark.slow
+def test_multi_sequence_driver_matches_solo():
+    """MultiSequenceDriver: 4 sequences tracked in one batched device
+    program per frame must match individually-tracked runs."""
+    from bench import _make_sequence
+    from lldslam_tpu.config import CameraConfig, SlamConfig, TrackingConfig
+    from lldslam_tpu.ops.orb import OrbConfig
+    from lldslam_tpu.parallel.multi_seq import MultiSequenceDriver
+    from lldslam_tpu.system import System
+
+    cam_cfg = CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=120.0,
+                           bf=200.0, fps=10.0, width=640, height=240)
+    cfg = SlamConfig(camera=cam_cfg, orb=OrbConfig(n_features=512),
+                     tracking=TrackingConfig(min_init_points=60))
+    n_seq, n_frames = 4, 10
+    seqs = [_make_sequence(cam_cfg.stereo_camera(), n_frames,
+                           n_per_m=25.0, seed=10 + s)
+            for s in range(n_seq)]
+
+    solo_T = []
+    for s in range(n_seq):
+        sysm = System(cfg, enable_loops=False)
+        sysm.tracker.mapper.fixed_tv_cap = 2048
+        for i, (l, r) in enumerate(seqs[s]):
+            sysm.track_stereo(l, r, timestamp=i * 0.1)
+        _, T = sysm.tracker.trajectory()
+        solo_T.append(T)
+
+    drv = MultiSequenceDriver(cfg, n_seq, enable_loops=False)
+    for i in range(n_frames):
+        res = drv.process([seqs[s][i] for s in range(n_seq)],
+                          [i * 0.1] * n_seq)
+        assert all(r is not None for r in res)
+    for s, (ts, T) in enumerate(drv.trajectories()):
+        assert len(ts) == n_frames
+        dp = np.linalg.norm(T[:, :3, 3] - solo_T[s][:, :3, 3], axis=-1)
+        assert dp.max() < 0.05, (s, dp.max())
+        assert drv.trackers[s].state.name == "OK"
+    # the steady-state frames really were batched (one program, S results)
+    batched_frames = [m for m in drv.trackers[0].metrics if m.frame_id >= 1]
+    assert len(batched_frames) == n_frames - 1
