@@ -33,89 +33,141 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _draw_seg(img, a, b, value, width=2):
-    """Rasterize a bright segment (host, prep only)."""
-    H, W = img.shape
-    n = int(max(abs(b[0] - a[0]), abs(b[1] - a[1])) * 2) + 2
-    xs = np.linspace(a[0], b[0], n)
-    ys = np.linspace(a[1], b[1], n)
-    for x, y in zip(xs, ys):
-        xi, yi = int(round(x)), int(round(y))
-        if 1 <= xi < W - width and 1 <= yi < H - width:
-            img[yi:yi + width, xi:xi + width] = value
+def _make_tex(rng, h_m: float, w_m: float, res: float, stripe_every=None):
+    """Multi-octave block texture for a plane (h_m x w_m metres, `res`
+    px/metre): random intensity blocks at 2 m / 0.5 m / 0.125 m cells give
+    FAST corners and BRIEF texture at every viewing distance, exactly the
+    scale-covariant statistics ORB's octave prediction assumes. Optional
+    vertical stripes (for the line workload) at `stripe_every` metres."""
+    h_px, w_px = int(h_m * res), int(w_m * res)
+    t = np.zeros((h_px, w_px), np.float32)
+    for cell_m, amp in ((2.0, 55.0), (0.5, 45.0), (0.125, 35.0)):
+        c_px = max(int(cell_m * res), 1)
+        ch, cw = h_px // c_px + 1, w_px // c_px + 1
+        blocks = rng.uniform(-amp, amp, (ch, cw)).astype(np.float32)
+        t += np.kron(blocks, np.ones((c_px, c_px), np.float32))[:h_px, :w_px]
+    t = np.clip(t + 128.0, 8.0, 248.0)
+    if stripe_every is not None:
+        x = stripe_every
+        while x < w_m:
+            x0, x1 = int(x * res), int((x + 0.18) * res)
+            t[:, x0:x1] = 235.0 if (int(x / stripe_every) % 2 == 0) else 18.0
+            x += stripe_every
+    return t
+
+
+def _sample_tex(tex, u_px, v_px):
+    """Bilinear texture fetch with clipped coordinates (vectorized)."""
+    h, w = tex.shape
+    u = np.clip(u_px, 0.0, w - 1.001)
+    v = np.clip(v_px, 0.0, h - 1.001)
+    u0 = u.astype(np.int32)
+    v0 = v.astype(np.int32)
+    fu = u - u0
+    fv = v - v0
+    return (tex[v0, u0] * (1 - fu) * (1 - fv)
+            + tex[v0, u0 + 1] * fu * (1 - fv)
+            + tex[v0 + 1, u0] * (1 - fu) * fv
+            + tex[v0 + 1, u0 + 1] * fu * fv)
 
 
 def _make_sequence(cam, n_frames: int, n_per_m: float = 40.0, seed: int = 0,
                    with_lines: bool = False):
-    """Synthetic forward-motion stereo corridor with KITTI-like feature
-    lifetimes: points are laid out per meter of travel with lateral offset
-    proportional to depth (stable bearing), so tracked-feature decay matches
-    the reference's natural ~1-KF-per-4-8-frames cadence on KITTI
-    (NeedNewKeyFrame, Tracking.cc:1223-1310) instead of the pathological
-    1-per-2 the round-2 world produced."""
+    """Synthetic forward-motion stereo corridor, rendered by ray-casting
+    textured planes (ground + two walls + end wall) with full perspective.
+
+    Unlike the round-2/early-round-3 sprite worlds (fixed- or scaled-pixel
+    patch stamps), every pixel here is a true projection of static 3D
+    texture, so appearance is scale- and viewpoint-covariant: detected ORB
+    octaves track MapPoint::PredictScale, descriptors are stable between
+    frames, and association statistics match real imagery (KITTI-like
+    feature lifetimes -> the reference's natural ~1-KF-per-4-8-frames
+    cadence, NeedNewKeyFrame Tracking.cc:1223-1310). `with_lines` paints
+    high-contrast vertical stripes on the walls — static 3D vertical line
+    segments for the LLD line workload. `n_per_m` kept for signature
+    compatibility (texture density is fixed per metre)."""
     import jax.numpy as jnp
     from lldslam_tpu.geometry import se3
 
     rng = np.random.default_rng(seed)
     W, H = cam.width, cam.height
-    PS = 41
-    length = 150.0 + 1.0 * n_frames
-    n_pts = int(n_per_m * length)
-    Z0 = rng.uniform(2.0, length, n_pts)
-    ang = rng.uniform(-0.75, 0.75, n_pts)
-    X = np.tan(ang) * Z0 * rng.uniform(0.35, 1.0, n_pts)
-    Y = rng.uniform(-4.0, 10.0, n_pts)
-    pts = np.stack([X, Y, Z0], -1).astype(np.float32)
-    patches = rng.uniform(0, 120, (n_pts, PS, PS)).astype(np.float32)
-    patches[:, PS // 2 - 2:PS // 2 + 3, PS // 2 - 2:PS // 2 + 3] = 40.0
-    bright = rng.uniform(180, 250, n_pts)
-    patches[:, PS // 2 - 1:PS // 2 + 2, PS // 2 - 1:PS // 2 + 2] = \
-        bright[:, None, None]
+    length = 220.0 + 1.0 * n_frames
+    res = 48.0                      # texture px per metre
+    half_w = 8.0                    # corridor half-width (m)
+    cam_h = 1.65                    # camera height over ground (m)
+    wall_top = -6.0                 # wall extent above camera (y up is -)
+    stripes = 3.0 if with_lines else None
+    ground = _make_tex(rng, 2 * half_w, length, res)
+    wall_l = _make_tex(rng, cam_h - wall_top, length, res,
+                       stripe_every=stripes)
+    wall_r = _make_tex(rng, cam_h - wall_top, length, res,
+                       stripe_every=stripes)
+    endw = _make_tex(rng, cam_h - wall_top, 2 * half_w, res)
 
-    segs = []
-    if with_lines:
-        # vertical 3D bars along the corridor (the LLD line workload;
-        # vertical = well-conditioned for rectified stereo)
-        for _ in range(int(length / 4)):
-            z = rng.uniform(8.0, length)
-            x = np.tan(rng.uniform(-0.6, 0.6)) * z
-            y0, y1 = rng.uniform(-4.0, -1.0), rng.uniform(3.0, 9.0)
-            val = rng.uniform(170, 255)
-            segs.append((np.array([x, y0, z]), np.array([x, y1, z]), val))
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+    dx = (xs - cam.cx) / cam.fx     # camera-frame ray dirs at z=1
+    dy = (ys - cam.cy) / cam.fy
 
-    h = PS // 2
+    def render(C, Rwc):
+        """Ray-cast one camera: center C (world), rotation Rwc (cam->world).
+        Camera frame: x right, y down, z forward; world starts aligned."""
+        d = (Rwc[:, 0][:, None, None] * dx[None]
+             + Rwc[:, 1][:, None, None] * dy[None]
+             + Rwc[:, 2][:, None, None])          # (3, H, W)
+        img = np.full((H, W), 12.0, np.float32)
+        best_t = np.full((H, W), np.inf, np.float32)
+        # plane list: (axis, offset, sign test, tex, (u_m, v_m) mapping)
+        # ground: y = +cam_h
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for which in ("ground", "wl", "wr", "end"):
+                if which == "ground":
+                    denom = d[1]
+                    tt = (cam_h - C[1]) / denom
+                elif which == "wl":
+                    denom = d[0]
+                    tt = (-half_w - C[0]) / denom
+                elif which == "wr":
+                    denom = d[0]
+                    tt = (half_w - C[0]) / denom
+                else:
+                    denom = d[2]
+                    tt = (length - C[2]) / denom
+                valid = (np.abs(denom) > 1e-9) & (tt > 0.25)
+                X = C[0] + tt * d[0]
+                Y = C[1] + tt * d[1]
+                Z = C[2] + tt * d[2]
+                if which == "ground":
+                    inside = (np.abs(X) <= half_w) & (Z >= 0) & (Z <= length)
+                    u_m, v_m, tex = Z, X + half_w, ground
+                elif which in ("wl", "wr"):
+                    inside = (Y >= wall_top) & (Y <= cam_h) \
+                        & (Z >= 0) & (Z <= length)
+                    tex = wall_l if which == "wl" else wall_r
+                    u_m, v_m = Z, Y - wall_top
+                else:
+                    inside = (np.abs(X) <= half_w) & (Y >= wall_top) \
+                        & (Y <= cam_h)
+                    u_m, v_m, tex = X + half_w, Y - wall_top, endw
+                hit = valid & inside & (tt < best_t)
+                if not hit.any():
+                    continue
+                val = _sample_tex(tex, u_m[hit] * res, v_m[hit] * res)
+                img[hit] = val
+                best_t[hit] = tt[hit]
+        return img
+
     frames = []
-    T = np.eye(4, dtype=np.float32)
+    T = np.eye(4, dtype=np.float32)   # T_cw
     xi = np.array([0.0, 0.0, -1.0, 0.0, 0.003, 0.0], np.float32)
-    dT = np.asarray(se3.exp(jnp.asarray(xi)))  # once, not per frame
+    dT = np.asarray(se3.exp(jnp.asarray(xi)))
     for _ in range(n_frames):
-        imL = np.full((H, W), 15.0, np.float32)
-        imR = np.full((H, W), 15.0, np.float32)
-        Xc = (T[:3, :3] @ pts.T).T + T[:3, 3]
-        u = cam.fx * Xc[:, 0] / np.maximum(Xc[:, 2], 1e-6) + cam.cx
-        v = cam.fy * Xc[:, 1] / np.maximum(Xc[:, 2], 1e-6) + cam.cy
-        ur = u - cam.bf / np.maximum(Xc[:, 2], 1e-6)
-        order = np.argsort(-Xc[:, 2])
-        for i in order:
-            if Xc[i, 2] > 0.5 and h < u[i] < W - h and h < v[i] < H - h \
-                    and h < ur[i] < W - h:
-                iu, iv, iur = int(u[i]), int(v[i]), int(ur[i])
-                imL[iv - h:iv + h + 1, iu - h:iu + h + 1] = patches[i]
-                imR[iv - h:iv + h + 1, iur - h:iur + h + 1] = patches[i]
-        for A, B, val in segs:
-            Ac = (T[:3, :3] @ A) + T[:3, 3]
-            Bc = (T[:3, :3] @ B) + T[:3, 3]
-            if Ac[2] < 1.0 or Bc[2] < 1.0:
-                continue
-            pa = np.array([cam.fx * Ac[0] / Ac[2] + cam.cx,
-                           cam.fy * Ac[1] / Ac[2] + cam.cy])
-            pb = np.array([cam.fx * Bc[0] / Bc[2] + cam.cx,
-                           cam.fy * Bc[1] / Bc[2] + cam.cy])
-            _draw_seg(imL, pa, pb, val)
-            da = cam.bf / Ac[2]
-            db = cam.bf / Bc[2]
-            _draw_seg(imR, pa - [da, 0], pb - [db, 0], val)
-        frames.append((imL.astype(np.uint8), imR.astype(np.uint8)))
+        Twc = np.linalg.inv(T)
+        Rwc, C = Twc[:3, :3], Twc[:3, 3]
+        C_r = C + Rwc[:, 0] * cam.baseline
+        imL = render(C, Rwc) + rng.normal(0, 1.2, (H, W))
+        imR = render(C_r, Rwc) + rng.normal(0, 1.2, (H, W))
+        frames.append((np.clip(imL, 0, 255).astype(np.uint8),
+                       np.clip(imR, 0, 255).astype(np.uint8)))
         T = dT @ T
     return frames
 

@@ -26,3 +26,21 @@ import jax as _jax
 # accumulation as the framework default; throughput-critical kernels opt into
 # bf16 explicitly where the math tolerates it.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent XLA compilation cache: programs here are large (tracker step,
+# local BA, loop closure) and a tunneled-TPU compile costs 20-60 s; caching
+# across processes makes bench/driver reruns start in seconds. TPU-backed
+# processes only (the axon relay env marks them): XLA:CPU AOT cache entries
+# embed host machine-feature lists that vary across flag configurations in
+# this environment and reload with SIGILL-risk warnings. Opt out with
+# LLDSLAM_NO_COMPILE_CACHE=1 (e.g. when diagnosing compile issues).
+import os as _os
+
+if not _os.environ.get("LLDSLAM_NO_COMPILE_CACHE") \
+        and _os.environ.get("PALLAS_AXON_POOL_IPS"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("LLDSLAM_COMPILE_CACHE",
+                        _os.path.expanduser("~/.cache/lldslam_xla")))
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -95,7 +95,6 @@ class LoopCloser:
         ch, nd, nw = self.voc.device_arrays()
         words = _descend(ch, nd, nw, desc_dev, self.voc.L)
         words = jnp.where(valid_dev, words, -1)
-        words.copy_to_host_async()
         return words
 
     def finish_keyframe(self, kf_id: int, words: "np.ndarray") -> bool:
@@ -598,24 +597,43 @@ class LoopCloser:
                 s.cam, dp, mesh, iters=iters, cg_iters=cg_iters)
             s.kf_pose[:K] = np.asarray(poses_n)[:K]
             s.pt_pos[pids] = np.asarray(points_n)[: len(pids)]
-        else:
+            # lines are not yet a landmark class of dist_schur: refine them
+            # against the freshly solved poses (documented divergence on
+            # the distributed path only)
+            self._global_line_refine()
+            return
+        lp = self._gather_line_problem()
+        if lp is None:
             solved, chi2 = ba.ba_solve(s.cam, problem, iters=iters,
                                        dense=False, cg_iters=cg_iters)
             s.kf_pose[:K] = np.asarray(solved.poses)[:K]
             s.pt_pos[pids] = np.asarray(solved.points)[: len(pids)]
-        self._global_line_refine()
+            return
+        # joint pose+point+line global problem (Optimizer.cc:321-560 with
+        # AddLineMinimalGlobal :149/:473): 4x4 line blocks marginalized in
+        # the same reduced camera system as the 3x3 point blocks
+        from ..optim import lines_ba
+        lids, q, alpha, line_valid, lobs = lp
+        joint = lines_ba.JointProblem(
+            base=problem, q=q, alpha=alpha, line_valid=line_valid, lobs=lobs)
+        solved, _, _ = lines_ba.joint_ba_solve_cg(
+            s.cam, joint, iters=iters, cg_iters=cg_iters,
+            gamma=float(self.cfg.line.gamma))
+        s.kf_pose[:K] = np.asarray(solved.base.poses)[:K]
+        s.pt_pos[pids] = np.asarray(solved.base.points)[: len(pids)]
+        self._write_back_lines(lids, solved.q, solved.alpha)
 
-    def _global_line_refine(self, min_obs: int = 4):
-        """The >= 4-obs line terms of the reference's global BA
-        (Optimizer.cc:473): batched per-line GN against ALL observations with
-        the (freshly solved) poses fixed — see
-        lines_ba.refine_lines_fixed_poses for the documented divergence."""
+    def _gather_line_problem(self, min_obs: int = 4):
+        """Assemble the >=4-obs line half of the global problem
+        (>=4-obs gate: Optimizer.cc:473). Returns
+        (lids, q, alpha, line_valid, lobs) padded to static buckets, or
+        None when the map has no qualifying line observations."""
         s = self.store
         K = s.n_kf
         lids = np.nonzero(s.ln_valid[: s.n_ln] & (s.ln_nobs[: s.n_ln]
                                                   >= min_obs))[0]
         if len(lids) == 0:
-            return
+            return None
         from ..geometry import lines as glines
         from ..optim import lines_ba
 
@@ -624,7 +642,7 @@ class LoopCloser:
         keep = np.isin(obs_l, lids)
         kf_idx, det_idx, obs_l = kf_idx[keep], det_idx[keep], obs_l[keep]
         if len(kf_idx) == 0:
-            return
+            return None
         ln_lut = np.full(s.max_ln, -1, np.int32)
         ln_lut[lids] = np.arange(len(lids), dtype=np.int32)
         LC = ((len(lids) + 511) // 512) * 512
@@ -652,6 +670,33 @@ class LoopCloser:
         x0[: len(lids)] = s.ln_x0[lids]
         dr[: len(lids)] = s.ln_dir[lids]
         q, alpha = glines.minimal_from_x0dir(jnp.asarray(x0), jnp.asarray(dr))
+        line_valid = np.zeros(LC, bool)
+        line_valid[: len(lids)] = True
+        return lids, q, alpha, jnp.asarray(line_valid), lobs
+
+    def _write_back_lines(self, lids, q2, a2):
+        """Decode solved minimal line states back into the map store,
+        skipping non-finite solves."""
+        from ..geometry import lines as glines
+        s = self.store
+        X0n, dn = glines.x0dir_from_minimal(q2, a2)
+        X0n = np.asarray(X0n)[: len(lids)]
+        dn = np.asarray(dn)[: len(lids)]
+        fin = np.isfinite(X0n).all(-1) & np.isfinite(dn).all(-1)
+        s.ln_x0[lids[fin]] = X0n[fin]
+        s.ln_dir[lids[fin]] = dn[fin]
+
+    def _global_line_refine(self):
+        """Fixed-pose per-line GN (lines_ba.refine_lines_fixed_poses) — the
+        line post-pass of the DISTRIBUTED global BA only; the single-device
+        path solves lines jointly (joint_ba_solve_cg)."""
+        lp = self._gather_line_problem()
+        if lp is None:
+            return
+        from ..optim import lines_ba
+        s = self.store
+        K = s.n_kf
+        lids, q, alpha, line_valid, lobs = lp
         KC = ((K + 63) // 64) * 64
         poses = np.tile(np.eye(4, dtype=np.float32), (KC, 1, 1))
         poses[:K] = s.kf_pose[:K]
@@ -666,19 +711,11 @@ class LoopCloser:
                 inv_sigma2=jnp.ones(8, jnp.float32),
                 is_stereo=jnp.zeros(8, bool),
                 valid=jnp.zeros(8, bool)))
-        line_valid = np.zeros(LC, bool)
-        line_valid[: len(lids)] = True
         joint = lines_ba.JointProblem(
-            base=base, q=q, alpha=alpha,
-            line_valid=jnp.asarray(line_valid), lobs=lobs)
+            base=base, q=q, alpha=alpha, line_valid=line_valid, lobs=lobs)
         q2, a2 = lines_ba.refine_lines_fixed_poses(
             s.cam, joint, gamma=float(self.cfg.line.gamma))
-        X0n, dn = glines.x0dir_from_minimal(q2, a2)
-        X0n = np.asarray(X0n)[: len(lids)]
-        dn = np.asarray(dn)[: len(lids)]
-        fin = np.isfinite(X0n).all(-1) & np.isfinite(dn).all(-1)
-        s.ln_x0[lids[fin]] = X0n[fin]
-        s.ln_dir[lids[fin]] = dn[fin]
+        self._write_back_lines(lids, q2, a2)
 
 
 def warmup_loop_programs(cam) -> None:

@@ -4,9 +4,11 @@ Replaces the per-cell `cv::FAST` calls of `ORBextractor::ComputeKeyPointsOctTree
 (reference src/ORBextractor.cc:769-829). Instead of branchy per-pixel early-out
 code, we compute the FAST score for EVERY pixel as a fused elementwise program
 (16 shifted images + log-depth circular window reductions), which is exactly
-what the VPU wants. Threshold fallback (20 -> 7, ORBextractor.cc:789-799) is
-subsumed by computing scores at the *minimum* threshold and letting selection
-prefer stronger corners.
+what the VPU wants. The threshold fallback (20 -> 7, ORBextractor.cc:789-799)
+lives in selection (ops/orb._select_level_keypoints): scores are computed once
+at the *minimum* threshold, and the per-cell gate keeps only >ini_th corners
+in cells that have any, falling back to min_th detections where a cell has
+none — the same two-tier outcome without a second detector pass.
 
 Score definition: V(p) = max over all contiguous 9-arcs of
 min_i(|I(c_i) - I(p)|) on the qualifying side — i.e. the maximum threshold at

@@ -120,12 +120,22 @@ def _select_level_keypoints(score: jnp.ndarray, n_out: int, cfg: OrbConfig):
     top-n over many candidates is rank-unstable under subpixel shifts and
     destroys stereo/temporal repeatability (measured: median counterpart
     distance 11 px global vs ~1 px per-cell on a shifted synthetic pair).
+
+    Two-tier FAST threshold (ORBextractor.cc:769-829): the score map is
+    computed once at `min_th` (the FAST score IS the max threshold at which
+    the pixel is still a corner), and per cell we keep only corners stronger
+    than `ini_th` unless the cell has none — then the whole cell falls back
+    to its `min_th` detections. Identical outcome to the reference's
+    detect-at-20-retry-at-7 per-cell loop, without a second detector pass.
     """
     h, w = score.shape
     c = cfg.cell
     ch, cw = -(-h // c), -(-w // c)
     pad = jnp.pad(score, ((0, ch * c - h), (0, cw * c - w)))
     cells = pad.reshape(ch, c, cw, c).transpose(0, 2, 1, 3).reshape(ch, cw, c * c)
+    if cfg.ini_th > cfg.min_th:
+        strong_cell = jnp.max(cells, axis=-1, keepdims=True) > cfg.ini_th
+        cells = jnp.where(strong_cell & (cells <= cfg.ini_th), 0.0, cells)
     k = min(max(1, -(-n_out // (ch * cw))) + 1, cfg.cell_k, c * c)
     # per-cell best-k by k rounds of (max, argmax, mask) — k is tiny (<= 4),
     # so this beats lax.top_k's full bitonic sort over the 900-wide cell axis

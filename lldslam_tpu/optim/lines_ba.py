@@ -357,17 +357,174 @@ def joint_ba_solve(
     return problem, chi2_p, chi2_l
 
 
+def _joint_cost(cam: StereoCamera, problem: JointProblem, gamma: float,
+                robust: bool, dscale):
+    """Total robust cost over BOTH landmark classes (sparse obs tables)."""
+    c = ba._total_cost(cam, problem.base, robust, dscale)
+    _, _, _, _, chi2 = _line_terms(cam, problem, gamma, robust=False,
+                                   delta_scale=dscale)
+    delta_sq = (res.CHI2_STEREO * gamma * gamma) * dscale
+    lc = jnp.sum((res.huber_rho(chi2, delta_sq) if robust else chi2)
+                 * (chi2 > 0))
+    return c + lc
+
+
+def _schur_cg_joint(problem: JointProblem, Hcc, bc, Hpp, bp, Wcp,
+                    Hll, bl, Wcl, lam, cg_iters: int):
+    """Matrix-free reduced camera system with BOTH landmark classes
+    marginalized:
+
+        S = Hcc_d - Wcp Hpp^-1 Wcp^T - Wcl Hll^-1 Wcl^T
+
+    S@v costs two observation-level gather/scatter passes per class — the
+    same O(observations) shape as ba._schur_cg, so the joint global problem
+    (reference src/Optimizer.cc:321-560 with line insertion at :473) solves
+    at the cost of the point-only one plus the (much smaller) line table."""
+    base = problem.base
+    o = base.obs
+    ol = problem.lobs
+    K = base.poses.shape[0]
+    P = base.points.shape[0]
+    L = problem.q.shape[0]
+    free = (~base.pose_fixed).astype(bc.dtype)
+
+    Hpp_d = ba._damp_diag(Hpp, lam)
+    seen_p = jnp.zeros((P,)).at[o.p].add(jnp.abs(Wcp).sum(axis=(1, 2))) > 0
+    Hpp_d = jnp.where(seen_p[:, None, None], Hpp_d,
+                      jnp.eye(3, dtype=Hpp.dtype)[None])
+    Hpp_inv = ba._inv3x3(Hpp_d)
+    Hll_d = ba._damp_diag(Hll, lam)
+    seen_l = jnp.zeros((L,)).at[ol.l].add(jnp.abs(Wcl).sum(axis=(1, 2))) > 0
+    Hll_d = jnp.where(seen_l[:, None, None], Hll_d,
+                      jnp.eye(4, dtype=Hll.dtype)[None])
+    Hll_inv = _inv4x4(Hll_d)
+    Hcc_d = ba._damp_diag(Hcc, lam)
+
+    def S_matvec(v):  # v (K, 6)
+        v = v * free[:, None]
+        y = jnp.einsum("kij,kj->ki", Hcc_d, v)
+        zp = jnp.zeros((P, 3)).at[o.p].add(
+            jnp.einsum("oij,oi->oj", Wcp, v[o.k]))
+        zp = jnp.einsum("pij,pj->pi", Hpp_inv, zp)
+        yp = jnp.zeros((K, 6)).at[o.k].add(
+            jnp.einsum("oij,oj->oi", Wcp, zp[o.p]))
+        zl = jnp.zeros((L, 4)).at[ol.l].add(
+            jnp.einsum("oij,oi->oj", Wcl, v[ol.k]))
+        zl = jnp.einsum("lij,lj->li", Hll_inv, zl)
+        yl = jnp.zeros((K, 6)).at[ol.k].add(
+            jnp.einsum("oij,oj->oi", Wcl, zl[ol.l]))
+        return (y - yp - yl) * free[:, None]
+
+    rhs = (bc
+           - jnp.zeros((K, 6)).at[o.k].add(jnp.einsum(
+               "oij,oj->oi", Wcp,
+               jnp.einsum("pij,pj->pi", Hpp_inv, bp)[o.p]))
+           - jnp.zeros((K, 6)).at[ol.k].add(jnp.einsum(
+               "oij,oj->oi", Wcl,
+               jnp.einsum("lij,lj->li", Hll_inv, bl)[ol.l]))
+           ) * free[:, None]
+
+    # block-Jacobi preconditioner on Jacobi-scaled blocks (ba._schur_cg note)
+    db = jnp.sqrt(jnp.maximum(jnp.diagonal(Hcc_d, axis1=-2, axis2=-1), 1e-12))
+    Hcc_s = Hcc_d / (db[:, :, None] * db[:, None, :])
+    Minv_s = jnp.linalg.inv(Hcc_s + jnp.eye(6, dtype=bc.dtype) * 1e-6)
+    Minv = Minv_s / (db[:, :, None] * db[:, None, :])
+
+    def precond(r):
+        return jnp.einsum("kij,kj->ki", Minv, r) * free[:, None]
+
+    def cg_body(_, state):
+        x, r, z, pdir, rz = state
+        Ap = S_matvec(pdir)
+        denom = jnp.sum(pdir * Ap)
+        alpha = rz / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        x = x + alpha * pdir
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-12, 1e-12, rz)
+        pdir = z + beta * pdir
+        return (x, r, z, pdir, rz_new)
+
+    r0 = rhs
+    z0 = precond(r0)
+    dc, *_ = jax.lax.fori_loop(
+        0, cg_iters, cg_body, (jnp.zeros_like(rhs), r0, z0, z0,
+                               jnp.sum(r0 * z0)))
+    # back-substitute both landmark classes
+    zp = jnp.zeros((P, 3)).at[o.p].add(jnp.einsum("oij,oi->oj", Wcp, dc[o.k]))
+    dp = jnp.einsum("pij,pj->pi", Hpp_inv, bp - zp)
+    dp = dp * base.point_valid[:, None]
+    zl = jnp.zeros((L, 4)).at[ol.l].add(
+        jnp.einsum("oij,oi->oj", Wcl, dc[ol.k]))
+    dl = jnp.einsum("lij,lj->li", Hll_inv, bl - zl)
+    dl = dl * (problem.line_valid & seen_l)[:, None]
+    return dc, dp, dl
+
+
+@partial(jax.jit, static_argnames=("cam", "iters", "cg_iters", "gamma",
+                                   "robust", "gnc"))
+def joint_ba_solve_cg(
+    cam: StereoCamera,
+    problem: JointProblem,
+    iters: int = 10,
+    cg_iters: int = 64,
+    gamma: float = 0.5,
+    robust: bool = True,
+    gnc: bool = True,
+):
+    """Joint pose+point+line GLOBAL bundle adjustment: the matrix-free Schur
+    CG path of optim/ba.py extended with 4x4 line blocks marginalized next to
+    the 3x3 point blocks — the TPU-native equivalent of the reference's
+    global problem where >=4-obs lines sit inside the same g2o graph as
+    points and poses (src/Optimizer.cc:321-560, line insertion :473 via
+    AddLineMinimalGlobal :149). Replaces refine_lines_fixed_poses on the
+    single-device global path (that remains as the post-pass of the
+    distributed solve). Returns (problem', chi2_p, chi2_l)."""
+
+    def body(i, state):
+        problem, lam = state
+        base = problem.base
+        dscale = jnp.maximum(1.0, 64.0 * 0.5 ** i) if gnc else 1.0
+        rp, Jcp, Jp, Wp, _, _ = ba._terms(cam, base, robust, dscale)
+        Hcc, bc, Hpp, bp, Wcp = ba._build_blocks(base, rp, Jcp, Jp, Wp)
+        rl, Jcl, Jl, Wl, _ = _line_terms(cam, problem, gamma, robust, dscale)
+        Hcc_l, bc_l, Hll, bl, Wcl = _line_blocks(problem, rl, Jcl, Jl, Wl)
+        dc, dp, dl = _schur_cg_joint(
+            problem, Hcc + Hcc_l, bc + bc_l, Hpp, bp, Wcp, Hll, bl, Wcl,
+            lam, cg_iters)
+        cand_base = ba._apply_update(base, dc, dp)
+        cand = _apply_line_update(problem._replace(base=cand_base), dl)
+        c_old = _joint_cost(cam, problem, gamma, robust, dscale)
+        c_new = _joint_cost(cam, cand, gamma, robust, dscale)
+        accept = c_new < c_old
+        problem = jax.tree.map(lambda a, b: jnp.where(accept, b, a),
+                               problem, cand)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e4)
+        return (problem, lam)
+
+    problem, _ = jax.lax.fori_loop(
+        0, iters, body, (problem, jnp.asarray(1e-4, problem.q.dtype)))
+    o = problem.base.obs
+    rp = res.point_residual_stereo(
+        cam, problem.base.poses[o.k], problem.base.points[o.p], o.uvr)
+    row_w = jnp.where(o.is_stereo[:, None], 1.0,
+                      jnp.array([1.0, 1.0, 0.0])[None, :])
+    chi2_p = o.inv_sigma2 * jnp.sum(rp * rp * row_w, axis=-1)
+    _, _, _, _, chi2_l = _line_terms(cam, problem, gamma, robust=False)
+    return problem, chi2_p, chi2_l
+
+
 @partial(jax.jit, static_argnames=("cam", "iters", "gamma"))
 def refine_lines_fixed_poses(cam: StereoCamera, problem: JointProblem,
                              gamma: float = 0.5, iters: int = 4):
-    """Global-BA line refinement with poses held fixed: per-line damped 4x4
-    GN assembled by segment-sum over ALL observations (the >= 4-obs line
-    terms of the reference's global BA, Optimizer.cc:473 /
-    AddLineMinimalGlobal :149). Divergence, documented: the pose<->line
-    coupling is dropped — poses come from the point system (gamma = 0.5
-    line terms are a small fraction of the reference's global problem), so
-    each line solves independently, which is exactly segment-summed batched
-    work on TPU. Returns (q, alpha)."""
+    """Line refinement with poses held fixed: per-line damped 4x4 GN
+    assembled by segment-sum over ALL observations. Used as the line
+    post-pass of the DISTRIBUTED global BA only (dist_schur has no line
+    landmark class yet — divergence documented there); the single-device
+    global path keeps the reference's pose<->line coupling via
+    joint_ba_solve_cg (Optimizer.cc:473 / AddLineMinimalGlobal :149).
+    Returns (q, alpha)."""
     L = problem.q.shape[0]
     o = problem.lobs
     lam = 1e-3

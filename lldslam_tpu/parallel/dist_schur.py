@@ -72,6 +72,15 @@ def make_dist_problem(problem: ba.BAProblem, n_shards: int):
     point indices. Returns (DistProblem, obs_src) where obs_src[i] is the
     original observation row feeding padded row i (-1 for padding) — the
     inverse map for per-observation chi2 readback.
+
+    Observations with valid=False are DROPPED (no obs_src row maps them):
+    a caller scattering per-row results (e.g. chi2) back through obs_src
+    must pre-fill its output buffer (zeros/inf), not use np.empty.
+
+    Per-shard slices pad to the LARGEST shard's count; a skewed landmark
+    distribution inflates every shard to the hottest one's length. The
+    skew ratio (counts.max/counts.mean) is recorded in
+    DistProblem-building callers' logs when > 2.
     """
     o = jax.tree.map(np.asarray, problem.obs)
     pts = np.asarray(problem.points)
@@ -86,6 +95,13 @@ def make_dist_problem(problem: ba.BAProblem, n_shards: int):
     shard = np.asarray(o.p) // per
     shard = np.where(np.asarray(o.valid), shard, -1)
     counts = np.bincount(shard[shard >= 0], minlength=n_shards)
+    if counts.sum() > 0 and counts.max() > 2.0 * max(counts.mean(), 1.0):
+        import logging
+        logging.getLogger(__name__).info(
+            "dist_schur shard skew: max/mean obs per shard %.1f "
+            "(%d/%0.f) — padded work inflates to the hottest shard",
+            counts.max() / max(counts.mean(), 1.0), counts.max(),
+            counts.mean())
     o_pad = max(int(counts.max(initial=0)), 8)
     o_pad = -(-o_pad // 8) * 8
     n_rows = n_shards * o_pad

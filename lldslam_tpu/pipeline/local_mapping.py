@@ -99,6 +99,13 @@ class LocalMapper:
         # pending staged work (pipelined mode)
         self._pending_kf: dict | None = None
         self._pending_ba: dict | None = None
+        # set by absorb_kf_stage when the KF's BoW words rode the flat
+        # readback: (kf_id, words np.ndarray); consumed by the tracker
+        self.absorbed_words: tuple | None = None
+        # frames since the BA dispatch — absorb only after the device had
+        # >= 2 frame-steps of time to finish the BA program, so the absorb
+        # get pays flat transfer latency instead of compute wait
+        self._ba_age = 0
         # when set, the tracking view always pads to this capacity (the
         # batched multi-sequence driver needs one shape across sequences)
         self.fixed_tv_cap: int | None = None
@@ -134,6 +141,11 @@ class LocalMapper:
             self.cam, lay, self.cache.arrays, buf, self._lut_dev,
             s.cfg.n_levels, s.cfg.scale)
         jax.block_until_ready(out)
+        # the flat-readback concat of the staged path (with + without the
+        # BoW word vector riding along)
+        jax.block_until_ready(mapper_fast.concat_flat(out[0], out[1]))
+        jax.block_until_ready(mapper_fast.concat_flat(
+            out[0], out[1], jnp.zeros(N, jnp.int32)))
         if self.enable_lines:
             self._warmup_lines()
             return
@@ -185,7 +197,9 @@ class LocalMapper:
             self.absorb_kf_stage()
             return self.dispatch_ba(kf_id)
         if self._pending_ba is not None:
-            self.absorb_ba()
+            self._ba_age += 1
+            if self._ba_age >= 2:
+                self.absorb_ba()
         return None
 
     def flush(self):
@@ -211,9 +225,12 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
 
-    def dispatch_kf_stage(self, kf_id: int):
+    def dispatch_kf_stage(self, kf_id: int, words_dev=None):
         """Host-side culling + one packed upload + one device dispatch for
-        triangulation & fusion."""
+        triangulation & fusion. `words_dev` optionally carries the KF's BoW
+        word ids (loop.closing.dispatch_bow) so they ride the SAME flat
+        readback — each separate device_get costs a flat ~35 ms through the
+        relay, so tri+fuse+words fetch as ONE buffer in absorb_kf_stage."""
         import time as _time
         t0 = _time.perf_counter()
         s = self.store
@@ -247,10 +264,14 @@ class LocalMapper:
         tri_bufs, fuse_bufs = mapper_fast.kf_stage_cached(
             self.cam, lay, self.cache.arrays, buf, self._lut_dev,
             s.cfg.n_levels, s.cfg.scale)
-        tri_bufs.copy_to_host_async()
-        fuse_bufs.copy_to_host_async()
+        parts = [tri_bufs, fuse_bufs]
+        if words_dev is not None:
+            parts.append(words_dev)
+        flat = mapper_fast.concat_flat(*parts)
         self._pending_kf = dict(
-            kf_id=kf_id, tri=tri_bufs, fuse=fuse_bufs,
+            kf_id=kf_id, flat=flat,
+            tri_shape=tuple(tri_bufs.shape), fuse_shape=tuple(fuse_bufs.shape),
+            has_words=words_dev is not None,
             nbs_tri=nbs_tri[:n_tri], nbs_fuse=nbs_fuse[:n_fuse],
             pid_arr=np.concatenate(
                 [pids, np.full(lay.view_cap - len(pids), -1, np.int64)]))
@@ -265,7 +286,14 @@ class LocalMapper:
         s = self.store
         kf_id = rec["kf_id"]
         lay = self._stage_layout
-        tri_bufs = np.asarray(rec["tri"])
+        # ONE flat readback for tri+fuse(+BoW words)
+        flat = np.asarray(rec["flat"])
+        n_tri = int(np.prod(rec["tri_shape"]))
+        n_fuse = int(np.prod(rec["fuse_shape"]))
+        tri_bufs = flat[:n_tri].reshape(rec["tri_shape"])
+        fuse_flat = flat[n_tri:n_tri + n_fuse].reshape(rec["fuse_shape"])
+        self.absorbed_words = (kf_id, flat[n_tri + n_fuse:]) \
+            if rec["has_words"] else None
         created: list[int] = []
         claimed = np.zeros(s.n_kp, bool)
         from . import mapping_ops
@@ -288,7 +316,7 @@ class LocalMapper:
             s.refresh_obs_counts()
         t1 = _time.perf_counter()
         # fusion writeback (ORBmatcher::Fuse semantics)
-        fuse_bufs = np.asarray(rec["fuse"])
+        fuse_bufs = fuse_flat
         pid_arr = rec["pid_arr"]
         self._fuse_writeback(fuse_bufs, pid_arr, rec["nbs_fuse"],
                              lay.view_cap)
@@ -363,6 +391,10 @@ class LocalMapper:
         skipped this keyframe."""
         import time as _time
         t0 = _time.perf_counter()
+        if self._pending_ba is not None:
+            # a new KF arrived before the delayed absorb — flush first so
+            # the previous window's results are not overwritten
+            self.absorb_ba()
         self._kf_count += 1
         s = self.store
         if s.n_kf < 2 or self._kf_count % self.ba_interval != 0:
@@ -402,7 +434,6 @@ class LocalMapper:
             result, view = mapper_fast.joint_ba_view_cached(
                 self.cam, jlay, self.cache.arrays, buf, self._lut_dev,
                 float(self.cfg.line.gamma))
-            result.copy_to_host_async()
             self._pending_ba = dict(kind="joint", result=result, meta=meta,
                                     lmeta=lmeta, kf_id=kf_id)
         else:
@@ -413,9 +444,9 @@ class LocalMapper:
             buf = jax.device_put(buf_np)
             result, view = mapper_fast.ba_view_cached(
                 self.cam, lay, self.cache.arrays, buf, self._lut_dev)
-            result.copy_to_host_async()
             self._pending_ba = dict(kind="points", result=result, meta=meta,
                                     kf_id=kf_id)
+        self._ba_age = 0
         self.stage_times["dispatch_ba"] = self.stage_times.get(
             "dispatch_ba", 0.0) + (_time.perf_counter() - t0)
         vp = np.concatenate([

@@ -87,6 +87,8 @@ def _track_step_chained(
     depth: jnp.ndarray,
     view: matching.MapPointView,
     inv_sigma2_lut: jnp.ndarray,
+    ring: jnp.ndarray,
+    slot: jnp.ndarray,
     n_levels: int,
     scale: float,
     min_mm: int,
@@ -96,13 +98,22 @@ def _track_step_chained(
     velocity update happen ON DEVICE, so frame i+1 can be dispatched before
     frame i's results ever reach the host (the host finalizes with a 1-frame
     lag — the deterministic analogue of the reference's tracking-vs-mapping
-    thread overlap). Returns (packed, X2, ok, T2, vel2)."""
+    thread overlap).
+
+    `ring` (W, L) is a device-resident accumulator of the last W frames'
+    packed outputs: each step writes its row at `slot`, and the host fetches
+    the WHOLE ring in one device_get every W frames. Through the tunneled
+    relay a fresh-buffer readback costs ~120 ms flat, so fetching W frames
+    per transfer is the difference between ~8 and ~25+ fps (measured; see
+    StereoTracker.readback_window). Returns (packed, X2, ok, T2, vel2,
+    ring')."""
     T_pred = vel_prev @ T_prev
     packed, X2, ok, T2 = _track_core(
         cam, T_pred, last_feats, last_ptpos, last_haspt, cur, depth, view,
         inv_sigma2_lut, n_levels, scale, min_mm, close_depth)
     vel2 = T2 @ jnp.linalg.inv(T_prev)
-    return packed, X2, ok, T2, vel2
+    ring = jax.lax.dynamic_update_slice(ring, packed[None], (slot, 0))
+    return packed, X2, ok, T2, vel2, ring
 
 
 @partial(jax.jit, static_argnames=("cam", "n_levels", "scale", "min_mm",
@@ -225,6 +236,8 @@ def _track_step_chained_lines(
     inv_sigma2_lut: jnp.ndarray,
     ln_x0, ln_d, ln_desc, ln_oct, ln_valid,   # padded map-line view
     fl,                                        # line_match.FrameLines
+    ring: jnp.ndarray,
+    slot: jnp.ndarray,
     n_levels: int,
     scale: float,
     min_mm: int,
@@ -256,7 +269,8 @@ def _track_step_chained_lines(
         det2ln.astype(jnp.int32),
         n_line.astype(jnp.int32)[None],
     ])
-    return packed, X2, ok, T3, vel2
+    ring = jax.lax.dynamic_update_slice(ring, packed[None], (slot, 0))
+    return packed, X2, ok, T3, vel2, ring
 
 
 @partial(jax.jit, static_argnames=("cam", "gamma", "md_thr"))
@@ -383,7 +397,8 @@ class StereoTracker:
     def __init__(self, cfg: SlamConfig, store: MapStore | None = None,
                  local_pt_cap: int = 8192, mapper_kwargs: dict | None = None,
                  enable_loops: bool = True, vocabulary=None,
-                 pipeline: bool = False, pipeline_depth: int = 2):
+                 pipeline: bool = False, pipeline_depth: int = 2,
+                 readback_window: int = 4):
         self.cfg = cfg
         self.cam = cfg.camera.stereo_camera()
         self.orb = cfg.orb
@@ -415,6 +430,12 @@ class StereoTracker:
         # the execute+readback round trip of the tunneled device entirely
         self.pipeline = pipeline
         self.pipeline_depth = max(1, pipeline_depth)
+        # frames finalized per batched readback (ONE flat-latency ring
+        # fetch covers W frames; see _process_pipelined). Host bookkeeping
+        # (KF decision, metrics, trajectory) lags up to W-1 frames.
+        self.readback_window = max(1, readback_window)
+        self._dev_ring = None
+        self._ring_slot = 0
         self._pending: list[dict] = []
         self._dev_T = None
         self._dev_vel = None
@@ -477,6 +498,12 @@ class StereoTracker:
         self.kf_cache = KfCache(n_slots=32, n_kp=self.store.n_kp)
         self.mapper = local_mapping.LocalMapper(
             self.store, cfg, cache=self.kf_cache, **self._mapper_kwargs)
+        if pipeline and self.mapper.fixed_tv_cap is None:
+            # pin the tracking-view capacity: a mid-run bucket jump
+            # (2048 -> 4096 as the map grows) changes the chained step's
+            # packed length, forcing a ring flush + ~10 s mid-sequence
+            # recompile; one fixed shape keeps the pipeline warm
+            self.mapper.fixed_tv_cap = 4096
         # loop closing: vocabulary supplied up front, or trained from the
         # first keyframe's descriptors at initialization (System.cc:70 loads
         # ORBvoc.txt; loop/bow.py reads that format too)
@@ -698,12 +725,28 @@ class StereoTracker:
         prev = (self._last_feats, self._last_ptpos, self._last_haspt)
         with_lines = (self.enable_lines and self._line_view is not None
                       and self._cur_fl is not None)
+        # device ring for batched readback: each chained step writes its
+        # packed output into row `slot`; the host fetches the whole ring in
+        # ONE device_get every W frames (a fresh-buffer readback through the
+        # relay costs ~120 ms flat regardless of size — per-frame gets were
+        # the throughput ceiling). A packed-length change (view-capacity
+        # growth, lines toggling) flushes and reallocates.
+        W = self.readback_window
+        L = 22 + 3 * self.store.n_kp + len(self._view_pid)
+        if with_lines:
+            L += self.store.n_ln_det + 1
+        if self._dev_ring is None or self._dev_ring.shape != (W, L):
+            if self._pending:
+                ret = self.flush()
+            self._dev_ring = jnp.zeros((W, L), jnp.int32)
+            self._ring_slot = 0
         if with_lines:
             out = _track_step_chained_lines(
                 self.cam, self._dev_T, self._dev_vel, self._last_feats,
                 self._last_ptpos, self._last_haspt, fd.feats, fd.depth,
                 self._view, self._inv_sigma2_lut, *self._line_view,
-                self._cur_fl, self.orb.n_levels, self.orb.scale,
+                self._cur_fl, self._dev_ring, self._ring_slot,
+                self.orb.n_levels, self.orb.scale,
                 self.cfg.tracking.min_motion_matches,
                 float(self.cfg.close_depth), float(self.cfg.line.gamma),
                 float(self._md_gate))
@@ -711,32 +754,50 @@ class StereoTracker:
             out = _track_step_chained(
                 self.cam, self._dev_T, self._dev_vel, self._last_feats,
                 self._last_ptpos, self._last_haspt, fd.feats, fd.depth,
-                self._view, self._inv_sigma2_lut, self.orb.n_levels,
-                self.orb.scale, self.cfg.tracking.min_motion_matches,
+                self._view, self._inv_sigma2_lut, self._dev_ring,
+                self._ring_slot, self.orb.n_levels, self.orb.scale,
+                self.cfg.tracking.min_motion_matches,
                 float(self.cfg.close_depth))
-        out[0].copy_to_host_async()
+        # NOTE: no copy_to_host_async here - through the axon relay it is a
+        # SYNCHRONOUS full round trip (~70-170 ms measured), not an async
+        # enqueue; issuing it per frame serialized the whole pipeline
+        # (0.8 fps vs 11+ fps without, measured on-chip)
         m.t_dispatch = _time.perf_counter() - t0
         rec = dict(fd=fd, out=out, ts=timestamp, m=m, fid=self.frame_id,
                    view_pid=self._view_pid,
-                   view_cap=len(self._view_pid), prev=prev)
+                   view_cap=len(self._view_pid), prev=prev,
+                   ring_slot=self._ring_slot)
         if with_lines:
             rec["fl"] = self._cur_fl
             rec["line_view_ids"] = self._line_view_ids
         self._dev_T, self._dev_vel = out[3], out[4]
+        self._dev_ring = out[5]
+        self._ring_slot += 1
         self._last_feats = fd.feats
         self._last_ptpos, self._last_haspt = out[1], out[2]
         self._pending.append(rec)
-        if len(self._pending) >= self.pipeline_depth:
-            ret = self._finalize_rec(self._pending.pop(0))
+        if self._ring_slot >= W:
+            t_g = _time.perf_counter()
+            batch = np.asarray(self._dev_ring)
+            self._ring_slot = 0
+            recs, self._pending = self._pending, []
+            recs[-1]["m"].t_get = _time.perf_counter() - t_g
+            for r in recs:
+                ret = self._finalize_rec(r, packed_np=batch[r["ring_slot"]])
         return ret if ret is not None else (self.T_cw.copy(), None)
 
     def flush(self):
-        """Finalize all in-flight pipelined frames and absorb any staged
-        keyframe work (sequence end, or before synchronous processing)."""
+        """Finalize all in-flight pipelined frames (one ring fetch) and
+        absorb any staged keyframe work (sequence end, resync, or before
+        synchronous processing)."""
         ret = None
-        while getattr(self, "_pending", None):
-            rec = self._pending.pop(0)
-            ret = self._finalize_rec(rec)
+        if getattr(self, "_pending", None):
+            batch = np.asarray(self._dev_ring)
+            recs, self._pending = self._pending, []
+            self._ring_slot = 0
+            for rec in recs:
+                ret = self._finalize_rec(rec,
+                                         packed_np=batch[rec["ring_slot"]])
         self._flush_kf_pipeline()
         return ret
 
@@ -751,6 +812,11 @@ class StereoTracker:
                 self._view, self._view_pid = out
         if mp._pending_ba is not None:
             mp.absorb_ba()
+        if mp.absorbed_words is not None:
+            wkf, words = mp.absorbed_words
+            mp.absorbed_words = None
+            if self._pending_loop is not None and self._pending_loop[0] == wkf:
+                self._pending_loop = (wkf, words)
         if self._pending_loop is not None:
             self._absorb_loop()
 
@@ -762,7 +828,14 @@ class StereoTracker:
         out = self.mapper.step_pending()
         if out is not None:
             self._view, self._view_pid = out
-        if self._pending_loop is not None and not self.mapper.busy:
+        if self.mapper.absorbed_words is not None:
+            wkf, words = self.mapper.absorbed_words
+            self.mapper.absorbed_words = None
+            if self._pending_loop is not None and self._pending_loop[0] == wkf:
+                self._pending_loop = (wkf, words)
+        if self._pending_loop is not None \
+                and self._pending_loop[1] is not None \
+                and not self.mapper.busy:
             return self._absorb_loop()
         return False
 
@@ -774,7 +847,13 @@ class StereoTracker:
         if self.loop_closer is None:
             return False
         T_ref_old = self.store.kf_pose[self.ref_kf].copy()
-        corrected = self.loop_closer.finish_keyframe(kf_id, np.asarray(words))
+        if words is None:
+            # flat readback hasn't happened (e.g. reset dropped the KF
+            # stage): recompute words from the host KF snapshot
+            corrected = self.loop_closer.process_keyframe(kf_id)
+        else:
+            corrected = self.loop_closer.finish_keyframe(
+                kf_id, np.asarray(words))
         if corrected:
             # re-express the tracker pose through the corrected reference
             # (CorrectLoop pose propagation, reference LoopClosing.cc:455-465)
@@ -788,7 +867,7 @@ class StereoTracker:
             self._resync = True
         return corrected
 
-    def _finalize_rec(self, rec: dict):
+    def _finalize_rec(self, rec: dict, packed_np: "np.ndarray | None" = None):
         import time as _time
         m: TrackMetrics = rec["m"]
         t0 = _time.perf_counter()
@@ -813,10 +892,12 @@ class StereoTracker:
             self._finish_metrics(m)
             return self.T_cw.copy(), m
 
-        out = rec["out"]
-        t_g = _time.perf_counter()
-        packed = jax.device_get(out[0])
-        m.t_get = _time.perf_counter() - t_g
+        if packed_np is not None:
+            packed = packed_np
+        else:
+            t_g = _time.perf_counter()
+            packed = jax.device_get(rec["out"][0])
+            m.t_get = _time.perf_counter() - t_g
         has_lines = "fl" in rec
         if has_lines:
             ld = self.store.n_ln_det
@@ -1046,6 +1127,22 @@ class StereoTracker:
         buf = jax.device_put(mapper_fast.pack_view(s, ids, cap))
         self._view = _unpack_view_dev(buf, cap)
 
+    def _ref_anchor_pose(self, fd: FrameData) -> np.ndarray | None:
+        """TrackReferenceKeyFrame pose: global descriptor match against the
+        reference KF -> robust pose optimization from the current pose
+        (Tracking.cc:773-830). Returns T_cw or None when the match is too
+        thin (< 10 associations)."""
+        kp2pt_ref = self._match_ref_kf(fd)
+        if (kp2pt_ref >= 0).sum() < 10:
+            return None
+        pobs = _gather_pose_obs(
+            self.cam, jnp.asarray(self.store.pt_pos),
+            jnp.asarray(kp2pt_ref), fd.feats, self._inv_sigma2_lut)
+        T_fb, _, _, _ = pose_opt.optimize_pose(
+            self.cam, jnp.asarray(self.T_cw), pobs)
+        T_fb = np.asarray(T_fb)
+        return T_fb if np.isfinite(T_fb).all() else None
+
     def _match_ref_kf(self, fd: FrameData) -> np.ndarray:
         """TrackReferenceKeyFrame association (Tracking.cc:773-830): global
         descriptor match of the frame against the reference KF's features
@@ -1231,7 +1328,16 @@ class StereoTracker:
                 self.T_cw = T_reloc
                 self.velocity = np.eye(4, dtype=np.float32)
                 self._has_velocity = False
-        T_pred = (self.velocity @ self.T_cw).astype(np.float32)
+        if not self._has_velocity and self.ref_kf >= 0 \
+                and self.state == TrackState.OK:
+            # no motion model (frame after init / reloc / map change): the
+            # reference anchors on the reference KF via BoW, not on a blind
+            # identity-velocity projection (Tracking.cc:336-344)
+            T_anchor = self._ref_anchor_pose(fd)
+            T_pred = (T_anchor if T_anchor is not None
+                      else (self.velocity @ self.T_cw)).astype(np.float32)
+        else:
+            T_pred = (self.velocity @ self.T_cw).astype(np.float32)
         import time as _time
         t_d0 = _time.perf_counter()
         out = self._run_step(fd, T_pred)
@@ -1255,21 +1361,26 @@ class StereoTracker:
         m.n_kp = int(n_kp)
         m.n_stereo = int(n_st)
 
-        if n_in < self.cfg.tracking.min_track_inliers and self.ref_kf >= 0:
-            # motion+local failed -> re-anchor on the reference KF
-            # (TrackReferenceKeyFrame, Tracking.cc:336-344,773-830)
-            kp2pt_ref = self._match_ref_kf(fd)
-            if (kp2pt_ref >= 0).sum() >= 10:
-                pobs = _gather_pose_obs(
-                    self.cam, jnp.asarray(self.store.pt_pos),
-                    jnp.asarray(kp2pt_ref), fd.feats, self._inv_sigma2_lut)
-                T_fb, _, _, _ = pose_opt.optimize_pose(
-                    self.cam, jnp.asarray(self.T_cw), pobs)
-                out = self._run_step(fd, np.asarray(T_fb))
+        if (n_in < self.cfg.tracking.min_track_inliers or n_mm < 20) \
+                and self.ref_kf >= 0:
+            # motion-model match too weak, or motion+local failed ->
+            # re-anchor on the reference KF and redo the step from the
+            # anchored pose (TrackReferenceKeyFrame fallback,
+            # Tracking.cc:336-345 nmatches<20 gate at :945-948, :773-830)
+            T_fb = self._ref_anchor_pose(fd)
+            if T_fb is not None:
+                out = self._run_step(fd, T_fb)
                 dev_ptpos, dev_haspt = out[1], out[2]
                 packed = jax.device_get(out[0])
-                (T_np, n_mm, n_in, tracked_close, untracked_close, n_kp, n_st,
-                 kp2last, kp2pt_l, ok, in_frustum) = self._unpack(packed)
+                (T_np2, n_mm2, n_in2, tracked_close2, untracked_close2,
+                 n_kp, n_st, kp2last2, kp2pt_l2, ok2, in_frustum2) = \
+                    self._unpack(packed)
+                if n_in2 > n_in:  # keep the better of the two associations
+                    (T_np, n_mm, n_in, tracked_close, untracked_close,
+                     kp2last, kp2pt_l, ok, in_frustum) = (
+                        T_np2, n_mm2, n_in2, tracked_close2,
+                        untracked_close2, kp2last2, kp2pt_l2, ok2,
+                        in_frustum2)
         m.n_inliers = n_in
 
         # global point id per keypoint: local-map association wins, else the
@@ -1413,10 +1524,13 @@ class StereoTracker:
             # absorb one stage per subsequent finalized frame
             # (_step_kf_pipeline) — the deterministic analogue of the
             # reference's LocalMapping/LoopClosing thread overlap
-            self.mapper.dispatch_kf_stage(kf)
+            words_dev = None
             if self.loop_closer is not None:
-                self._pending_loop = (kf, self.loop_closer.dispatch_bow(
-                    fd.feats.desc, fd.feats.valid))
+                words_dev = self.loop_closer.dispatch_bow(
+                    fd.feats.desc, fd.feats.valid)
+                # words filled in by absorb_kf_stage's flat readback
+                self._pending_loop = (kf, None)
+            self.mapper.dispatch_kf_stage(kf, words_dev=words_dev)
             self._refresh_ref_matches()
             if self.enable_lines:
                 self._refresh_line_view()

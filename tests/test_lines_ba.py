@@ -143,3 +143,63 @@ def test_joint_ba_line_outlier_classification():
     # corrupted observations must be flagged
     assert (~keep[bad]).mean() > 0.9
     assert keep[~bad].mean() > 0.9
+
+
+def test_joint_cg_global_converges():
+    """joint_ba_solve_cg (matrix-free Schur CG with 4x4 line blocks — the
+    global-BA path) recovers ground truth like the dense joint solver."""
+    rng = np.random.default_rng(2)
+    problem, poses_gt, pts_gt, X0_gt, d_gt = _make_problem(rng)
+    solved, chi2_p, chi2_l = lines_ba.joint_ba_solve_cg(
+        CAM, problem, iters=8, cg_iters=32)
+    poses = np.asarray(solved.base.poses)
+    pose_err = np.linalg.norm(poses[:, :3, 3] - poses_gt[:, :3, 3], axis=-1)
+    assert pose_err.max() < 5e-3, pose_err
+    X0, d = gl.x0dir_from_minimal(solved.q, solved.alpha)
+    ddot = np.abs(np.sum(np.asarray(d) * d_gt, -1))
+    assert np.median(ddot) > 0.9999
+    assert np.median(np.linalg.norm(np.asarray(X0) - X0_gt, axis=-1)) < 2e-2
+    assert float(np.median(np.asarray(chi2_l))) < 1e-3
+
+
+def test_joint_cg_no_worse_than_fixed_pose_refine():
+    """VERDICT r2 #7: the joint pose+line global solve must be no worse than
+    the old points-then-fixed-pose-line-refine split, on noisy observations
+    where the pose<->line coupling actually matters."""
+    rng = np.random.default_rng(3)
+    problem, poses_gt, pts_gt, X0_gt, d_gt = _make_problem(rng)
+    # pixel noise on every observation so the two schedules genuinely differ
+    uvr = np.asarray(problem.base.obs.uvr) + rng.normal(
+        0, 0.3, problem.base.obs.uvr.shape).astype(np.float32)
+    lnoise = lambda a: np.asarray(a) + rng.normal(
+        0, 0.3, a.shape).astype(np.float32)
+    problem = problem._replace(
+        base=problem.base._replace(
+            obs=problem.base.obs._replace(uvr=jnp.asarray(uvr))),
+        lobs=problem.lobs._replace(
+            x1l=jnp.asarray(lnoise(problem.lobs.x1l)),
+            x2l=jnp.asarray(lnoise(problem.lobs.x2l)),
+            x1r=jnp.asarray(lnoise(problem.lobs.x1r)),
+            x2r=jnp.asarray(lnoise(problem.lobs.x2r))))
+
+    def line_err(q, a):
+        X0, d = gl.x0dir_from_minimal(q, a)
+        return np.median(np.linalg.norm(np.asarray(X0) - X0_gt, axis=-1))
+
+    # (a) split schedule: point-only CG BA, then fixed-pose line GN
+    pa, _ = ba.ba_solve(CAM, problem.base, iters=8, dense=False, cg_iters=32)
+    qa, aa = lines_ba.refine_lines_fixed_poses(
+        CAM, problem._replace(base=pa), iters=8)
+    # (b) joint schedule
+    pb, _, _ = lines_ba.joint_ba_solve_cg(CAM, problem, iters=8, cg_iters=32)
+
+    pe_a = np.linalg.norm(
+        np.asarray(pa.poses)[:, :3, 3] - poses_gt[:, :3, 3], axis=-1).max()
+    pe_b = np.linalg.norm(
+        np.asarray(pb.base.poses)[:, :3, 3] - poses_gt[:, :3, 3],
+        axis=-1).max()
+    le_a = line_err(qa, aa)
+    le_b = line_err(pb.q, pb.alpha)
+    # joint no worse than split (small tolerance for solver noise)
+    assert pe_b <= pe_a * 1.10 + 1e-4, (pe_b, pe_a)
+    assert le_b <= le_a * 1.10 + 1e-4, (le_b, le_a)

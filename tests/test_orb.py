@@ -130,3 +130,47 @@ class TestOrbDescriptors:
         # descriptors of valid kps are non-degenerate (not all zero)
         d = np.asarray(kp.desc)[np.asarray(kp.valid)]
         assert (d.sum(axis=1) > 0).mean() > 0.9
+
+
+class TestTwoTierThreshold:
+    """iniThFAST=20 -> minThFAST=7 per-cell fallback
+    (reference ORBextractor.cc:769-829)."""
+
+    def test_strong_cell_drops_weak_corners(self):
+        cfg = orb.OrbConfig(n_features=64, cell=30, ini_th=20.0, min_th=7.0)
+        score = np.zeros((90, 90), np.float32)
+        score[40, 40] = 25.0   # strong corner, cell (1,1)
+        score[50, 50] = 10.0   # weak corner in the SAME cell -> dropped
+        score[70, 70] = 10.0   # weak corner alone in cell (2,2) -> kept
+        xy, s = orb._select_level_keypoints(jnp.asarray(score), 16, cfg)
+        got = {(int(x), int(y)) for (x, y), v in
+               zip(np.asarray(xy), np.asarray(s)) if v > 0}
+        assert (40, 40) in got
+        assert (70, 70) in got
+        assert (50, 50) not in got
+        # single-tier config keeps the weak corner in the strong cell
+        cfg1 = orb.OrbConfig(n_features=64, cell=30, ini_th=7.0, min_th=7.0)
+        xy1, s1 = orb._select_level_keypoints(jnp.asarray(score), 16, cfg1)
+        got1 = {(int(x), int(y)) for (x, y), v in
+                zip(np.asarray(xy1), np.asarray(s1)) if v > 0}
+        assert (50, 50) in got1
+
+    def test_repeatability_not_degraded(self):
+        """Shifted-pair counterpart distance with the two-tier gate stays at
+        the per-cell-topk level (the stability claim at orb.py:112-123)."""
+        shift = 3
+        imA = IMG[:, :-shift]
+        imB = IMG[:, shift:]
+
+        def med_dist(cfg):
+            kA = orb.extract(jnp.asarray(imA, jnp.float32), cfg)
+            kB = orb.extract(jnp.asarray(imB, jnp.float32), cfg)
+            a = np.asarray(kA.xy)[np.asarray(kA.valid)]
+            b = np.asarray(kB.xy)[np.asarray(kB.valid)] + [shift, 0]
+            d = np.linalg.norm(a[:, None] - b[None], axis=-1).min(axis=1)
+            return np.median(d)
+
+        two = med_dist(orb.OrbConfig(n_features=500, ini_th=20.0))
+        one = med_dist(orb.OrbConfig(n_features=500, ini_th=7.0))
+        assert two <= one + 1.0, (two, one)
+        assert two < 2.0, two

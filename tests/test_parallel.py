@@ -122,28 +122,43 @@ def test_dist_schur_two_process():
     import socket
     import os
 
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.join(root, "tools", "dist_worker.py"),
-             str(i), "2", str(port)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True, env=env, cwd=root)
-        for i in range(2)
-    ]
-    outs = []
-    for pr in procs:
-        try:
-            out, _ = pr.communicate(timeout=240)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out)
+
+    def run_once():
+        # free-port pick is TOCTOU-racy (another process can grab it before
+        # the coordinator binds) -> retried by the caller on failure
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [sys.executable,
+                 os.path.join(root, "tools", "dist_worker.py"),
+                 str(i), "2", str(port)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env, cwd=root)
+            for i in range(2)
+        ]
+        outs = []
+        for pr in procs:
+            try:
+                out, _ = pr.communicate(timeout=240)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        return procs, outs
+
+    for attempt in range(3):
+        procs, outs = run_once()
+        if all(pr.returncode == 0 for pr in procs):
+            break
+        bindfail = any("Address already in use" in o
+                       or "Failed to bind" in o for o in outs)
+        if not bindfail or attempt == 2:
+            break
     for i, (pr, out) in enumerate(zip(procs, outs)):
         assert pr.returncode == 0, f"proc {i} failed:\n{out}"
         assert "DIST OK" in out, f"proc {i} missing DIST OK:\n{out}"

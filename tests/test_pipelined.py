@@ -53,14 +53,15 @@ def test_pipelined_matches_sync():
     # every frame got finalized exactly once, in order
     fids = [m.frame_id for m in pipe.tracker.metrics]
     assert fids == sorted(fids)
-    # frame 0 initializes synchronously; the next (depth - 1) frames are
-    # in-flight dispatches (nothing finalized yet); after that each call
-    # returns the (i - depth + 1)-th frame's finalized metrics
-    depth = pipe.tracker.pipeline_depth
+    # frame 0 initializes synchronously; afterwards finalizes happen in
+    # ring bursts of W frames — the non-None returns carry strictly
+    # increasing frame ids and at least one burst fired before the flush
     assert rets[0][1] is not None and rets[0][1].frame_id == 0
-    for j in range(1, depth):
-        assert rets[j][1] is None
-    assert rets[depth][1] is not None and rets[depth][1].frame_id == 1
+    burst_ids = [r[1].frame_id for r in rets[1:] if r[1] is not None]
+    assert burst_ids == sorted(burst_ids)
+    assert len(burst_ids) >= 1
+    W = pipe.tracker.readback_window
+    assert any(r[1] is None for r in rets[1:]) or W == 1
 
 
 @pytest.mark.slow
@@ -80,3 +81,35 @@ def test_pipelined_blackout_recovers():
     states = [m.state for m in pipe.tracker.metrics]
     assert "LOST" in states            # the blackout was detected
     assert states[-1] == "OK"          # and tracking recovered
+
+
+@pytest.mark.slow
+def test_pipelined_reset_right_after_init():
+    """Lost with <= 5 KFs triggers the full auto-reset (Tracking.cc:482-488)
+    while a pipelined frame is still in flight: the in-flight frame must
+    reinitialize the fresh map through the _finalize_rec resync path, every
+    frame must finalize exactly once, and the reset frame reads LOST."""
+    cfg = _cfg()
+    frames = _frames(cfg, 12)
+    pipe = System(cfg, enable_loops=False, pipeline=True)
+    blk = np.zeros_like(frames[0][0])
+    # init on frame 0, blackout immediately (n_kf is certainly <= 5),
+    # then good frames again
+    seq = frames[:2] + [(blk, blk)] * 3 + frames[2:8]
+    for i, (l, r) in enumerate(seq):
+        T, m = pipe.track_stereo(l, r, timestamp=i * 0.1)
+        assert np.isfinite(T).all()
+    pipe.flush()
+    ms = pipe.tracker.metrics
+    # one metrics record per frame, in order
+    assert len(ms) == len(seq)
+    fids = [m.frame_id for m in ms]
+    assert fids == sorted(fids)
+    states = [m.state for m in ms]
+    assert "LOST" in states[:6]        # the reset frame reads LOST
+    # the fresh map reinitialized and tracking resumed
+    assert states[-1] == "OK"
+    assert pipe.tracker.store.n_kf >= 1
+    # the map is the post-reset one: its first KF's frame id is after the
+    # blackout (the pre-reset KFs are gone)
+    assert pipe.tracker.store.kf_frame_id[0] >= 2

@@ -1,7 +1,13 @@
 """Probe: which NeedNewKeyFrame condition fires on the bench sequence."""
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("LLDSLAM_FORCE_CPU"):
+    # sitecustomize ignores JAX_PLATFORMS in this environment
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 from bench import _make_sequence

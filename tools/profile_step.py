@@ -5,8 +5,11 @@ Times (steady state, block_until_ready):
   - _track_step (motion match -> pose LM -> local search -> pose LM)
 and prints a per-piece ms breakdown to stderr.
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

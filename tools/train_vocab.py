@@ -12,12 +12,19 @@ loop.bow.Vocabulary.load_npz; System uses it as the default vocabulary).
 
 Usage: python tools/train_vocab.py [n_frames] [k] [L]
 """
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("LLDSLAM_TRAIN_CPU"):
+    # this environment's sitecustomize ignores JAX_PLATFORMS; force CPU via
+    # jax.config (e.g. to train while the TPU runs a bench)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 
 def log(m):
