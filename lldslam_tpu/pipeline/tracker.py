@@ -766,7 +766,7 @@ class StereoTracker:
         rec = dict(fd=fd, out=out, ts=timestamp, m=m, fid=self.frame_id,
                    view_pid=self._view_pid,
                    view_cap=len(self._view_pid), prev=prev,
-                   ring_slot=self._ring_slot)
+                   ring_slot=self._ring_slot, ring_after=out[5])
         if with_lines:
             rec["fl"] = self._cur_fl
             rec["line_view_ids"] = self._line_view_ids
@@ -776,11 +776,16 @@ class StereoTracker:
         self._last_feats = fd.feats
         self._last_ptpos, self._last_haspt = out[1], out[2]
         self._pending.append(rec)
+        # fetch + finalize at each full window. Fetching with an extra lag
+        # (so the ring version is already computed) makes the get cheaper
+        # (~25 vs ~35 ms/frame) but was measured SLOWER end-to-end: the
+        # staler KF decision over-fires keyframes (13-17 vs 10 per 40
+        # frames) and the extra KF work dwarfs the readback saving.
         if self._ring_slot >= W:
-            t_g = _time.perf_counter()
-            batch = np.asarray(self._dev_ring)
             self._ring_slot = 0
             recs, self._pending = self._pending, []
+            t_g = _time.perf_counter()
+            batch = np.asarray(recs[-1]["ring_after"])
             recs[-1]["m"].t_get = _time.perf_counter() - t_g
             for r in recs:
                 ret = self._finalize_rec(r, packed_np=batch[r["ring_slot"]])
@@ -791,13 +796,18 @@ class StereoTracker:
         absorb any staged keyframe work (sequence end, resync, or before
         synchronous processing)."""
         ret = None
-        if getattr(self, "_pending", None):
-            batch = np.asarray(self._dev_ring)
-            recs, self._pending = self._pending, []
-            self._ring_slot = 0
+        while getattr(self, "_pending", None):
+            # one ring window at a time (slot wraps to 0 at a window edge);
+            # the window's last rec's ring version holds all its rows
+            recs = [self._pending.pop(0)]
+            while self._pending \
+                    and self._pending[0]["ring_slot"] > recs[-1]["ring_slot"]:
+                recs.append(self._pending.pop(0))
+            batch = np.asarray(recs[-1]["ring_after"])
             for rec in recs:
                 ret = self._finalize_rec(rec,
                                          packed_np=batch[rec["ring_slot"]])
+        self._ring_slot = 0
         self._flush_kf_pipeline()
         return ret
 

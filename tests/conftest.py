@@ -7,6 +7,11 @@ must override via `jax.config.update` after import.
 """
 import os
 
+# tests run on forced-CPU: disable the package's persistent compile cache
+# (XLA:CPU AOT entries embed machine-feature lists that vary across flag
+# configurations and reload with SIGILL-risk warnings)
+os.environ.setdefault("LLDSLAM_NO_COMPILE_CACHE", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

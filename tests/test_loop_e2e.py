@@ -110,3 +110,69 @@ def test_circular_loop_closure():
     ate = ate_rmse(T_wc, gt_wc, align=False)
     # ~54 m travelled; loop closure must keep global consistency tight
     assert ate < 0.60, f"ATE {ate:.3f} m too large after loop closure"
+
+
+@pytest.mark.slow
+def test_endurance_double_loop():
+    """Endurance: 300 frames, two full laps on the same map with live
+    capacity growth (small initial caps) and a mid-lap low-texture wedge.
+
+    Lap 1 must close a loop at its re-entry. Lap 2 then tracks against the
+    CORRECTED map: revisited keyframes stay covisibility-connected, so the
+    detector must NOT fire again (KeyFrameDatabase's connected-set
+    exclusion, KeyFrameDatabase.cc:76+ — a second event here would mean the
+    first correction failed to make the map consistent). Global consistency
+    over both laps is asserted via ATE instead."""
+    from lldslam_tpu.pipeline.tracker import StereoTracker
+    from lldslam_tpu.slammap.map_store import MapStore
+    from lldslam_tpu.loop.bow import Vocabulary
+    from pathlib import Path
+
+    rng = np.random.default_rng(5)
+    pts, patches = _make_ring_world(rng)
+    # low-texture wedge mid-lap: a drift spike every lap (KITTI-like
+    # degradation) without losing tracking
+    ang = np.arctan2(pts[:, 2], pts[:, 0])
+    wedge = (ang > 1.2) & (ang < 1.9)
+    keep = ~wedge | (rng.uniform(size=len(pts)) < 0.08)
+    pts, patches = pts[keep], patches[keep]
+    cam_cfg = CameraConfig(fx=400.0, fy=400.0, cx=W / 2, cy=H / 2, bf=200.0,
+                           fps=10.0, width=W, height=H)
+    cfg = SlamConfig(camera=cam_cfg, orb=OrbConfig(n_features=600),
+                     tracking=TrackingConfig(min_init_points=100))
+    cam = cam_cfg.stereo_camera()
+    voc = Vocabulary.load_npz(
+        Path(__file__).resolve().parents[1] / "lldslam_tpu/loop/vocab_synth.npz")
+    store = MapStore(cam, cfg.orb, max_kf=24, max_pt=4096)
+    tr = StereoTracker(cfg, store=store, vocabulary=voc)
+    tr.local_pt_cap = 4096
+    tr.mapper.p_cap = 4096
+    tr.mapper.o_cap = 8192
+
+    n_frames = 300
+    gt = [_circle_pose(2 * np.pi * 2.16 * i / n_frames)
+          for i in range(n_frames)]
+    lost = 0
+    for i, T in enumerate(gt):
+        imL, imR = _render(cam, T, pts, patches)
+        _, m = tr.process(imL, imR, timestamp=i * 0.1)
+        lost += m.state == "LOST"
+    assert lost <= 6, f"lost {lost} frames"
+    assert len(tr.metrics) == n_frames
+
+    lc = tr.loop_closer
+    assert lc is not None
+    assert len(lc.events) == 1, \
+        (f"exactly one loop closure expected (lap-1 re-entry); lap 2 "
+         f"re-tracks the corrected map: {[(e.query_kf, e.matched_kf) for e in lc.events]}")
+
+    # capacities grew live (started at 24 KFs / 4096 points)
+    assert tr.store.max_kf > 24 and tr.store.max_pt > 4096
+    assert any(e.startswith("grow_kf") for e in tr.store.cap_events)
+    assert any(e.startswith("grow_pt") for e in tr.store.cap_events)
+
+    _, T_wc = tr.trajectory()
+    gt_wc = np.stack([gt[0] @ np.linalg.inv(g) for g in gt])
+    ate = ate_rmse(T_wc, gt_wc, align=False)
+    # ~108 m travelled over two laps; both corrections must hold
+    assert ate < 1.0, f"ATE {ate:.3f} m after two laps"

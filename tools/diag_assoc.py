@@ -11,6 +11,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 if os.environ.get("LLDSLAM_FORCE_CPU", "1"):
+    os.environ.setdefault("LLDSLAM_NO_COMPILE_CACHE", "1")
     import jax
     jax.config.update("jax_platforms", "cpu")
 

@@ -6,6 +6,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 if os.environ.get("LLDSLAM_FORCE_CPU"):
     # sitecustomize ignores JAX_PLATFORMS in this environment
+    os.environ.setdefault("LLDSLAM_NO_COMPILE_CACHE", "1")
     import jax
     jax.config.update("jax_platforms", "cpu")
 import numpy as np

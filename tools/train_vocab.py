@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 if os.environ.get("LLDSLAM_TRAIN_CPU"):
     # this environment's sitecustomize ignores JAX_PLATFORMS; force CPU via
     # jax.config (e.g. to train while the TPU runs a bench)
+    os.environ.setdefault("LLDSLAM_NO_COMPILE_CACHE", "1")
     import jax
     jax.config.update("jax_platforms", "cpu")
 
