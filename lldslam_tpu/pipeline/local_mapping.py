@@ -109,6 +109,14 @@ class LocalMapper:
         # when set, the tracking view always pads to this capacity (the
         # batched multi-sequence driver needs one shape across sequences)
         self.fixed_tv_cap: int | None = None
+        # IO worker: device_put / dispatch / device_get of the staged KF
+        # programs run on this thread so their flat relay latencies
+        # (~35-140 ms each) overlap the tracker's frame dispatches instead
+        # of blocking them. Determinism is untouched: the worker only moves
+        # buffers; every store mutation stays on the caller's thread.
+        from concurrent.futures import ThreadPoolExecutor
+        self._io = ThreadPoolExecutor(max_workers=1,
+                                      thread_name_prefix="mapper_io")
 
     # ------------------------------------------------------------------
 
@@ -150,7 +158,7 @@ class LocalMapper:
             self._warmup_lines()
             return
         for P in self.p_buckets:
-            for tv in ((2048,) if P <= 2048 else (2048, 4096)):
+            for tv in self._tv_caps(P):
                 bl = mapper_fast.BaLayout(
                     k_cap=self.k_cap, p_bkt=P, o_bkt=self._o_bkt(P),
                     tv_cap=tv, n_kp=N)
@@ -160,10 +168,19 @@ class LocalMapper:
                     self.cam, bl, self.cache.arrays, bbuf, self._lut_dev)
                 jax.block_until_ready(out)
 
+    def _tv_caps(self, P: int):
+        """Tracking-view capacities the BA program will actually run at —
+        the pinned capacity when set (pipelined mode), else the dynamic
+        buckets. Warming the wrong tv left a ~1.7 s joint-BA compile in the
+        middle of the lines bench."""
+        if self.fixed_tv_cap:
+            return (self.fixed_tv_cap,)
+        return (2048,) if P <= 2048 else (2048, 4096)
+
     def _warmup_lines(self):
         """Packed joint point+line BA warmup per bucket."""
         for P in self.p_buckets:
-            for tv in ((2048,) if P <= 2048 else (2048, 4096)):
+            for tv in self._tv_caps(P):
                 bl = mapper_fast.BaLayout(
                     k_cap=self.k_cap, p_bkt=P, o_bkt=self._o_bkt(P),
                     tv_cap=tv, n_kp=self.store.n_kp)
@@ -260,17 +277,19 @@ class LocalMapper:
         buf_np = mapper_fast.pack_kf_stage(
             lay, s, kf_id, slots[:lay.b1], nbs_tri,
             slots[lay.b1:], nbs_fuse, n_tri, n_fuse, pids)
-        buf = jax.device_put(buf_np)
-        tri_bufs, fuse_bufs = mapper_fast.kf_stage_cached(
-            self.cam, lay, self.cache.arrays, buf, self._lut_dev,
-            s.cfg.n_levels, s.cfg.scale)
-        parts = [tri_bufs, fuse_bufs]
-        if words_dev is not None:
-            parts.append(words_dev)
-        flat = mapper_fast.concat_flat(*parts)
+        def io_task():
+            buf = jax.device_put(buf_np)
+            tri_bufs, fuse_bufs = mapper_fast.kf_stage_cached(
+                self.cam, lay, self.cache.arrays, buf, self._lut_dev,
+                s.cfg.n_levels, s.cfg.scale)
+            parts = [tri_bufs, fuse_bufs]
+            if words_dev is not None:
+                parts.append(words_dev)
+            flat = np.asarray(mapper_fast.concat_flat(*parts))
+            return flat, tuple(tri_bufs.shape), tuple(fuse_bufs.shape)
+
         self._pending_kf = dict(
-            kf_id=kf_id, flat=flat,
-            tri_shape=tuple(tri_bufs.shape), fuse_shape=tuple(fuse_bufs.shape),
+            kf_id=kf_id, flat_fut=self._io.submit(io_task),
             has_words=words_dev is not None,
             nbs_tri=nbs_tri[:n_tri], nbs_fuse=nbs_fuse[:n_fuse],
             pid_arr=np.concatenate(
@@ -286,12 +305,13 @@ class LocalMapper:
         s = self.store
         kf_id = rec["kf_id"]
         lay = self._stage_layout
-        # ONE flat readback for tri+fuse(+BoW words)
-        flat = np.asarray(rec["flat"])
-        n_tri = int(np.prod(rec["tri_shape"]))
-        n_fuse = int(np.prod(rec["fuse_shape"]))
-        tri_bufs = flat[:n_tri].reshape(rec["tri_shape"])
-        fuse_flat = flat[n_tri:n_tri + n_fuse].reshape(rec["fuse_shape"])
+        # ONE flat readback for tri+fuse(+BoW words), prefetched by the IO
+        # worker while the tracker kept dispatching frames
+        flat, tri_shape, fuse_shape = rec["flat_fut"].result()
+        n_tri = int(np.prod(tri_shape))
+        n_fuse = int(np.prod(fuse_shape))
+        tri_bufs = flat[:n_tri].reshape(tri_shape)
+        fuse_flat = flat[n_tri:n_tri + n_fuse].reshape(fuse_shape)
         self.absorbed_words = (kf_id, flat[n_tri + n_fuse:]) \
             if rec["has_words"] else None
         created: list[int] = []
@@ -434,8 +454,9 @@ class LocalMapper:
             result, view = mapper_fast.joint_ba_view_cached(
                 self.cam, jlay, self.cache.arrays, buf, self._lut_dev,
                 float(self.cfg.line.gamma))
-            self._pending_ba = dict(kind="joint", result=result, meta=meta,
-                                    lmeta=lmeta, kf_id=kf_id)
+            self._pending_ba = dict(
+                kind="joint", result_fut=self._io.submit(np.asarray, result),
+                meta=meta, lmeta=lmeta, kf_id=kf_id)
         else:
             buf_np = mapper_fast.pack_ba(
                 lay, s, meta["window"], slots, meta["n_free"], meta["pts"],
@@ -444,8 +465,9 @@ class LocalMapper:
             buf = jax.device_put(buf_np)
             result, view = mapper_fast.ba_view_cached(
                 self.cam, lay, self.cache.arrays, buf, self._lut_dev)
-            self._pending_ba = dict(kind="points", result=result, meta=meta,
-                                    kf_id=kf_id)
+            self._pending_ba = dict(
+                kind="points", result_fut=self._io.submit(np.asarray, result),
+                meta=meta, kf_id=kf_id)
         self._ba_age = 0
         self.stage_times["dispatch_ba"] = self.stage_times.get(
             "dispatch_ba", 0.0) + (_time.perf_counter() - t0)
@@ -461,7 +483,7 @@ class LocalMapper:
         rec, self._pending_ba = self._pending_ba, None
         s = self.store
         meta = rec["meta"]
-        buf = np.asarray(rec["result"])
+        buf = rec["result_fut"].result()
         K, P = self.k_cap, meta["p_bkt"]
         if rec.get("kind") == "joint":
             o = 0
