@@ -270,6 +270,10 @@ def main():
     # LBD detections + points, KITTI04-12_LBD.yaml:73-77) ---
     fps3 = _bench_lines(cam_cfg, n_meas)
 
+    # --- batched multi-sequence sweep (BASELINE 13-sequence capability:
+    # S sequences' per-frame compute in ONE vmapped program) ---
+    fps4 = _bench_multi_seq()
+
     print(json.dumps({
         "metric": "kitti_stereo_tracking_throughput",
         "value": round(fps, 2),
@@ -277,7 +281,43 @@ def main():
         "vs_baseline": round(fps / 10.0, 2),
         "lines_fps": round(fps3, 2),
         "ingest_fps": round(fps2, 2),
+        "multi_seq_fps_agg": round(fps4, 2),
     }))
+
+
+def _bench_multi_seq(n_seq: int = 4, n_meas: int = 14) -> float:
+    """Aggregate frames/s of the batched multi-sequence driver: n_seq
+    synthetic corridors tracked in lock-step through one vmapped device
+    program per frame (parallel/multi_seq.py). Smaller camera keeps the
+    one-off S-batched compile bounded."""
+    import time
+    from lldslam_tpu.config import CameraConfig, SlamConfig, TrackingConfig
+    from lldslam_tpu.ops.orb import OrbConfig
+    from lldslam_tpu.parallel.multi_seq import MultiSequenceDriver
+
+    cam_cfg = CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=120.0,
+                           bf=200.0, fps=10.0, width=640, height=240)
+    cfg = SlamConfig(camera=cam_cfg, orb=OrbConfig(n_features=600),
+                     tracking=TrackingConfig(min_init_points=80))
+    n_warm = 4
+    _log("bench: multi-seq worlds...")
+    seqs = [_make_sequence(cam_cfg.stereo_camera(), n_warm + n_meas,
+                           seed=10 + i) for i in range(n_seq)]
+    drv = MultiSequenceDriver(cfg, n_seq, enable_loops=False)
+    _log("bench: multi-seq warmup...")
+    for f in range(n_warm):
+        drv.process([seqs[i][f] for i in range(n_seq)],
+                    [f * 0.1] * n_seq)
+    t0 = time.perf_counter()
+    for f in range(n_warm, n_warm + n_meas):
+        drv.process([seqs[i][f] for i in range(n_seq)],
+                    [f * 0.1] * n_seq)
+    dt = time.perf_counter() - t0
+    fps = n_seq * n_meas / dt
+    states = [tr.state.name for tr in drv.trackers]
+    _log(f"bench: multi-seq {n_seq}x{n_meas} frames in {dt:.2f}s "
+         f"({fps:.2f} fps aggregate, {fps / n_seq:.2f}/seq); states {states}")
+    return fps
 
 
 def _bench_lines(cam_cfg, n_meas: int) -> float:

@@ -58,6 +58,28 @@ def predict_octave(dist, max_dist, n_levels: int, log_scale: float):
     return jnp.clip(lvl, 0, n_levels - 1)
 
 
+FORCE_PALLAS_MATCH: bool | None = None
+
+
+def use_pallas_match() -> bool:
+    """Gate for the fused Pallas best-2 matcher (ops/pallas_match.py).
+
+    Default OFF: through this environment's remote-AOT relay the kernel's
+    full form crashes the Mosaic compile helper (exit 1, no diagnostics)
+    even though every constituent pattern — bf16 tile matmul, masked min,
+    iota argmin, multi-scratch fold, multi-output pl.when writes — compiles
+    and runs correctly in isolation, and the identical logic passes when
+    inlined with constant operands. Element-exactness vs the XLA path is
+    covered by tests/test_pallas_match.py (interpret mode). Set
+    FORCE_PALLAS_MATCH = True to enable on a toolchain where the Mosaic
+    pipeline accepts it; the XLA fallback costs ~2 ms of the ~7 ms step at
+    bench shapes, so this is an HBM-traffic optimization, not a
+    correctness or bottleneck issue."""
+    if FORCE_PALLAS_MATCH is not None:
+        return FORCE_PALLAS_MATCH
+    return False
+
+
 @partial(jax.jit, static_argnames=("cam", "n_levels", "scale", "check_rot"))
 def search_by_projection(
     cam: StereoCamera,
@@ -123,13 +145,21 @@ def search_by_projection(
     ur_ok = (frame.ur[None, :] < 0) | (dur <= r[:, None])
     cand = win & oct_ok & ur_ok & in_frustum[:, None] & frame.valid[None, :]
 
-    dmat = hamming.distance_matrix(pts.desc, frame.desc)
-    d = jnp.where(cand, dmat, hamming.INF_DIST)
-    best_kp = jnp.argmin(d, axis=1)
-    best = jnp.take_along_axis(d, best_kp[:, None], axis=1)[:, 0]
-    d2 = d.at[jnp.arange(d.shape[0]), best_kp].set(hamming.INF_DIST)
-    second_kp = jnp.argmin(d2, axis=1)
-    second = jnp.take_along_axis(d2, second_kp[:, None], axis=1)[:, 0]
+    P_, N_ = pts.desc.shape[0], frame.desc.shape[0]
+    if use_pallas_match() and P_ % 256 == 0 and N_ % 256 == 0:
+        # fused MXU kernel: per-tile bit-matmul Hamming + masked best-2
+        # fold in VMEM — the (P, N) distance matrix never exists in HBM
+        from ..ops import pallas_match
+        best_kp, best, second, second_kp = pallas_match.masked_best2(
+            pts.desc, frame.desc, cand)
+    else:
+        dmat = hamming.distance_matrix(pts.desc, frame.desc)
+        d = jnp.where(cand, dmat, hamming.INF_DIST)
+        best_kp = jnp.argmin(d, axis=1)
+        best = jnp.take_along_axis(d, best_kp[:, None], axis=1)[:, 0]
+        d2 = d.at[jnp.arange(d.shape[0]), best_kp].set(hamming.INF_DIST)
+        second_kp = jnp.argmin(d2, axis=1)
+        second = jnp.take_along_axis(d2, second_kp[:, None], axis=1)[:, 0]
     same_lvl = frame.octave[best_kp] == frame.octave[second_kp]
     ratio_ok = (~same_lvl) | (
         best.astype(jnp.float32) <= nn_ratio * second.astype(jnp.float32)
@@ -143,7 +173,7 @@ def search_by_projection(
         ok = ok & rot_ok
 
     # resolve keypoint conflicts: lowest distance per keypoint wins
-    P, N = d.shape
+    P, N = P_, N_
     best_masked = jnp.where(ok, best, hamming.INF_DIST)
     kp_best_dist = (
         jnp.full((N,), hamming.INF_DIST, jnp.int32).at[best_kp].min(best_masked)
