@@ -100,6 +100,8 @@ class LoopCloser:
     def finish_keyframe(self, kf_id: int, words: "np.ndarray") -> bool:
         """Staged second half of process_keyframe: detection + (rare)
         Sim3/correction from pre-computed word ids."""
+        self.stage_times["n_words_staged"] = self.stage_times.get(
+            "n_words_staged", 0) + 1
         ids, vals = self.voc.vector_from_words(words)
         return self._finish(kf_id, ids, vals)
 
@@ -109,6 +111,8 @@ class LoopCloser:
         import time as _time
         t = _time.perf_counter
         t0 = t()
+        self.stage_times["n_host_bow"] = self.stage_times.get(
+            "n_host_bow", 0) + 1
         ids, vals = self._kf_bow(kf_id)
         t1 = t()
         self.stage_times["bow"] = self.stage_times.get("bow", 0.0) \
@@ -590,17 +594,32 @@ class LoopCloser:
         if use_dist:
             from ..parallel import dist_schur
             mesh = dist_schur.make_mesh()
-            dp, _ = dist_schur.make_dist_problem(
-                problem, int(np.prod(mesh.devices.shape)))
-            dp = dist_schur.place(dp, mesh)
-            poses_n, points_n, _ = dist_schur.dist_ba_solve(
-                s.cam, dp, mesh, iters=iters, cg_iters=cg_iters)
+            n_shards = int(np.prod(mesh.devices.shape))
+            lp = self._gather_line_problem()
+            if lp is None:
+                dp, _ = dist_schur.make_dist_problem(problem, n_shards)
+                dp = dist_schur.place(dp, mesh)
+                poses_n, points_n, _ = dist_schur.dist_ba_solve(
+                    s.cam, dp, mesh, iters=iters, cg_iters=cg_iters)
+                s.kf_pose[:K] = np.asarray(poses_n)[:K]
+                s.pt_pos[pids] = np.asarray(points_n)[: len(pids)]
+                return
+            # joint pose+point+line distributed solve: the same problem as
+            # the single-device path (Optimizer.cc:473/:149), both landmark
+            # classes sharded over the mesh
+            from ..optim import lines_ba
+            lids, q, alpha, line_valid, lobs = lp
+            joint = lines_ba.JointProblem(
+                base=problem, q=q, alpha=alpha, line_valid=line_valid,
+                lobs=lobs)
+            djp, _, _ = dist_schur.make_dist_joint_problem(joint, n_shards)
+            djp = dist_schur.place_joint(djp, mesh)
+            poses_n, points_n, q_n, a_n, _ = dist_schur.dist_joint_ba_solve(
+                s.cam, djp, mesh, iters=iters, cg_iters=cg_iters,
+                gamma=float(self.cfg.line.gamma))
             s.kf_pose[:K] = np.asarray(poses_n)[:K]
             s.pt_pos[pids] = np.asarray(points_n)[: len(pids)]
-            # lines are not yet a landmark class of dist_schur: refine them
-            # against the freshly solved poses (documented divergence on
-            # the distributed path only)
-            self._global_line_refine()
+            self._write_back_lines(lids, q_n, a_n)
             return
         lp = self._gather_line_problem()
         if lp is None:
@@ -687,9 +706,11 @@ class LoopCloser:
         s.ln_dir[lids[fin]] = dn[fin]
 
     def _global_line_refine(self):
-        """Fixed-pose per-line GN (lines_ba.refine_lines_fixed_poses) — the
-        line post-pass of the DISTRIBUTED global BA only; the single-device
-        path solves lines jointly (joint_ba_solve_cg)."""
+        """Fixed-pose per-line GN (lines_ba.refine_lines_fixed_poses).
+        No longer on any default path — both the single-device and the
+        distributed global BA now solve lines JOINTLY with poses/points
+        (joint_ba_solve_cg / dist_schur.dist_joint_ba_solve); kept as a
+        cheap standalone refinement utility."""
         lp = self._gather_line_problem()
         if lp is None:
             return

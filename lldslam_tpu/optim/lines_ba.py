@@ -478,9 +478,9 @@ def joint_ba_solve_cg(
     the 3x3 point blocks — the TPU-native equivalent of the reference's
     global problem where >=4-obs lines sit inside the same g2o graph as
     points and poses (src/Optimizer.cc:321-560, line insertion :473 via
-    AddLineMinimalGlobal :149). Replaces refine_lines_fixed_poses on the
-    single-device global path (that remains as the post-pass of the
-    distributed solve). Returns (problem', chi2_p, chi2_l)."""
+    AddLineMinimalGlobal :149). The multi-device form of the same solve is
+    parallel/dist_schur.dist_joint_ba_solve. Returns
+    (problem', chi2_p, chi2_l)."""
 
     def body(i, state):
         problem, lam = state
@@ -519,12 +519,11 @@ def joint_ba_solve_cg(
 def refine_lines_fixed_poses(cam: StereoCamera, problem: JointProblem,
                              gamma: float = 0.5, iters: int = 4):
     """Line refinement with poses held fixed: per-line damped 4x4 GN
-    assembled by segment-sum over ALL observations. Used as the line
-    post-pass of the DISTRIBUTED global BA only (dist_schur has no line
-    landmark class yet — divergence documented there); the single-device
-    global path keeps the reference's pose<->line coupling via
-    joint_ba_solve_cg (Optimizer.cc:473 / AddLineMinimalGlobal :149).
-    Returns (q, alpha)."""
+    assembled by segment-sum over ALL observations. A standalone utility:
+    both global-BA paths now keep the reference's pose<->line coupling
+    (single-device joint_ba_solve_cg; distributed
+    dist_schur.dist_joint_ba_solve — Optimizer.cc:473 /
+    AddLineMinimalGlobal :149). Returns (q, alpha)."""
     L = problem.q.shape[0]
     o = problem.lobs
     lam = 1e-3
