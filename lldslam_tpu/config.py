@@ -158,6 +158,13 @@ def load_config(path: str | Path, sequence: str | None = None) -> SlamConfig:
     if sequence is not None:
         det = det.replace("$SSS", sequence)
         desc = desc.replace("$SSS", sequence)
+    # relative stored-line paths resolve against the YAML's directory (lets
+    # a sequence ship its settings + line files as one self-contained dir)
+    base = Path(path).parent
+    if det and not Path(det).is_absolute():
+        det = str(base / det)
+    if desc and not Path(desc).is_absolute():
+        desc = str(base / desc)
     line = LineConfig(
         ld_type=str(g("ldType", "empty")),
         md_thr=float(g("mdThr", 2.0)),
@@ -171,5 +178,9 @@ def load_config(path: str | Path, sequence: str | None = None) -> SlamConfig:
     tracking = TrackingConfig(
         th_depth=float(g("ThDepth", 35.0)),
         max_frames_between_kf=int(g("Camera.fps", 10)),
+        # extension keys (not in the reference YAMLs): small-resolution
+        # sequences need smaller init/track gates than KITTI's defaults
+        min_init_points=int(g("minInitPoints", 250)),
+        min_track_inliers=int(g("minTrackInliers", 15)),
     )
     return SlamConfig(camera=cam, orb=orb, line=line, tracking=tracking)
