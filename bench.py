@@ -172,7 +172,22 @@ def _make_sequence(cam, n_frames: int, n_per_m: float = 40.0, seed: int = 0,
     return frames
 
 
-def _report(sys_, ms, label):
+def _snap_times(sys_):
+    """Snapshot cumulative stage-time dicts so _report can show the
+    MEASURED section only (warmup compiles/cache backfills otherwise smear
+    every per-KF average)."""
+    lc = sys_.tracker.loop_closer
+    return (dict(sys_.tracker.mapper.stage_times),
+            dict(lc.stage_times) if lc is not None else {},
+            dict(getattr(sys_.tracker, "line_kf_times", {}) or {}))
+
+
+def _delta(cur, base):
+    return {k: v - base.get(k, 0) for k, v in cur.items()
+            if v - base.get(k, 0)}
+
+
+def _report(sys_, ms, label, kt0: int = 0, t_snap=None):
     _log("bench[{}]: avg dispatch {:.1f}ms get {:.1f}ms".format(
         label,
         1e3 * np.mean([x.t_dispatch for x in ms]),
@@ -183,7 +198,15 @@ def _report(sys_, ms, label):
                  1e3 * np.mean([x.t_build for x in ms]),
                  1e3 * np.mean([x.t_step for x in ms]),
                  1e3 * np.sum([x.t_kf for x in ms]) / max(1, n_kf), n_kf))
+    kt = sys_.tracker.kf_timings[kt0:]
+    if kt:
+        keys = sorted({k for d in kt for k in d})
+        _log("bench[{}]: kf path avg ".format(label) + " ".join(
+            f"{k}={1e3 * np.mean([d.get(k, 0.0) for d in kt]):.0f}ms"
+            for k in keys))
     mst = sys_.tracker.mapper.stage_times
+    if t_snap is not None:
+        mst = _delta(mst, t_snap[0])
     if mst.get("n"):
         _log("bench[{}]: mapper stages avg ".format(label) + " ".join(
             f"{k}={1e3 * v / mst['n']:.0f}ms" for k, v in mst.items()
@@ -191,17 +214,39 @@ def _report(sys_, ms, label):
         drops = {k: v for k, v in mst.items() if k.endswith("dropped")}
         if drops:
             _log(f"bench[{label}]: mapper drops {drops}")
+    lkt = getattr(sys_.tracker, "line_kf_times", None)
+    if t_snap is not None and lkt:
+        lkt = _delta(lkt, t_snap[2])
+    if lkt and lkt.get("n"):
+        _log("bench[{}]: line kf avg ".format(label) + " ".join(
+            f"{k}={1e3 * v / lkt['n']:.0f}ms" for k, v in lkt.items()
+            if k != "n"))
     lc = sys_.tracker.loop_closer
     if lc is not None and lc.stage_times.get("n"):
         ls = lc.stage_times
+        if t_snap is not None:
+            ls = _delta(ls, t_snap[1])
+        # stage_times mixes per-stage seconds with event COUNTS
+        # (n_candidates); only the former go through the ms formatter
+        counts = {k: v for k, v in ls.items()
+                  if k == "n" or k.startswith("n_")}
         _log("bench[{}]: loop stages avg ".format(label) + " ".join(
             f"{k}={1e3 * v / ls['n']:.0f}ms" for k, v in ls.items()
-            if k != "n"))
+            if k not in counts))
+        _log("bench[{}]: loop counts ".format(label) + " ".join(
+            f"{k}={v}" for k, v in counts.items()))
         if lc.events:
             _log("bench[{}]: LOOP EVENTS (should be none on this corridor): "
                  .format(label) + ", ".join(
                      f"{e.query_kf}<->{e.matched_kf}({e.n_inliers})"
                      for e in lc.events))
+    st_ = sys_.tracker.store
+    if getattr(st_, "covis_n", 0):
+        _log(f"bench[{label}]: covisible_kfs calls {st_.covis_n} "
+             f"({1e3 * st_.covis_s / st_.covis_n:.1f}ms avg)")
+    if getattr(st_, "obs_rebuild_n", 0):
+        _log(f"bench[{label}]: obs index rebuilds {st_.obs_rebuild_n} "
+             f"({1e3 * st_.obs_rebuild_s / st_.obs_rebuild_n:.1f}ms avg)")
     if sys_.tracker.store.cap_events:
         _log(f"bench[{label}]: capacity events "
              f"{sys_.tracker.store.cap_events}")
@@ -235,15 +280,22 @@ def main():
     import jax
     jax.block_until_ready(staged[-1])
     m0 = len(sys_.tracker.metrics)
+    kt0 = len(sys_.tracker.kf_timings)
+    t_snap = _snap_times(sys_)
+    import gc
+    gc.collect()
+    gc.disable()
     t0 = time.perf_counter()
     for i, h in enumerate(staged):
         sys_.track_stereo(None, None, timestamp=(n_warm + i) * 0.1,
                           pair_dev=h)
     sys_.flush()
+    gc.enable()
     dt = time.perf_counter() - t0
     fps = n_meas / dt
     _log(f"bench: {n_meas} frames in {dt:.2f}s (device-staged)")
-    _report(sys_, sys_.tracker.metrics[m0:], "staged")
+    _report(sys_, sys_.tracker.metrics[m0:], "staged", kt0=kt0,
+            t_snap=t_snap)
 
     # --- ingest-included: frames pushed through the link inside the timed
     # loop, prefetch depth 4 ---
@@ -367,6 +419,8 @@ def _bench_lines(cam_cfg, n_meas: int) -> float:
               for j in range(n_meas)]
     jax.block_until_ready(staged[-1][0])
     m0 = len(sys_.tracker.metrics)
+    kt0 = len(sys_.tracker.kf_timings)
+    t_snap = _snap_times(sys_)
     t0 = time.perf_counter()
     for j, (h, lv) in enumerate(staged):
         sys_.track_stereo(None, None, timestamp=(n_warm + j) * 0.1,
@@ -379,7 +433,7 @@ def _bench_lines(cam_cfg, n_meas: int) -> float:
     _log(f"bench: lines {n_meas} frames in {dt:.2f}s ({fps:.2f} fps); "
          f"line matches/frame median {int(np.median(n_line))}; "
          f"map lines {sys_.map.n_ln}")
-    _report(sys_, ms, "lines")
+    _report(sys_, ms, "lines", kt0=kt0, t_snap=t_snap)
     return fps
 
 

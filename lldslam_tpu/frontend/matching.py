@@ -69,8 +69,13 @@ def use_pallas_match() -> bool:
     even though every constituent pattern — bf16 tile matmul, masked min,
     iota argmin, multi-scratch fold, multi-output pl.when writes — compiles
     and runs correctly in isolation, and the identical logic passes when
-    inlined with constant operands. Element-exactness vs the XLA path is
-    covered by tests/test_pallas_match.py (interpret mode). Set
+    inlined with constant operands. Near-exactness vs the XLA path is
+    covered by tests/test_pallas_match.py (interpret mode): best index and
+    both distances match element-wise; `second_kp` may differ from the XLA
+    argmin on equal-distance ties (the kernel's fold visits columns in a
+    different order), which can flip the same-octave ratio gate on tied
+    rows — enabling FORCE_PALLAS_MATCH gives slightly different (equally
+    valid) match sets, not bit-identical ones. Set
     FORCE_PALLAS_MATCH = True to enable on a toolchain where the Mosaic
     pipeline accepts it; the XLA fallback costs ~2 ms of the ~7 ms step at
     bench shapes, so this is an HBM-traffic optimization, not a

@@ -22,6 +22,9 @@ alpha.
 """
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from . import se3
@@ -279,10 +282,15 @@ def triangulate_multi_view(
     rhs = jnp.sum(normals * centers, axis=-1, keepdims=True)
     A = jnp.concatenate([normals, -rhs], axis=-1)  # (..., N, 4)
     A = A * mask[..., None]
-    # SVD of A: null space = last two right singular vectors.
-    _, s, vt = jnp.linalg.svd(A, full_matrices=True)
-    h1 = vt[..., 2, :]
-    h2 = vt[..., 3, :]
+    # Null space of A = eigenvectors of the two SMALLEST eigenvalues of the
+    # 4x4 Gram matrix A^T A — equivalent to the SVD's last two right
+    # singular vectors but a batched symmetric 4x4 eigendecomposition
+    # instead of a general (N, 4) SVD (which lowered to a ~200 ms device
+    # program on TPU and stalled the whole execution queue at KF rate).
+    M = jnp.einsum("...ni,...nj->...ij", A, A)
+    _, v = jnp.linalg.eigh(M)  # ascending eigenvalues
+    h1 = v[..., :, 0]
+    h2 = v[..., :, 1]
     # Dehomogenize a point and direction from span{h1, h2}.
     # Point: combination with nonzero w; direction: combination with w=0.
     w1, w2 = h1[..., 3], h2[..., 3]
@@ -298,6 +306,32 @@ def triangulate_multi_view(
     ok = (nobs >= 2) & (jnp.linalg.norm(dvec, axis=-1) > _EPS) & (jnp.abs(wp) > _EPS)
     X0, d = closest_point_form(P, dvec)
     return X0, d, ok
+
+
+@jax.jit
+def triangulate_multi_view_packed(normals, centers, mask) -> jnp.ndarray:
+    """triangulate_multi_view with the three host-bound results flattened
+    into ONE int32 buffer [X0 | d | ok] — each device->host leaf pays a
+    full relay round trip (~35-140 ms) at keyframe rate."""
+    X0, d, ok = triangulate_multi_view(normals, centers, mask)
+    bc = lambda a: jax.lax.bitcast_convert_type(
+        a.astype(jnp.float32).reshape(-1), jnp.int32)
+    return jnp.concatenate([bc(X0), bc(d), ok.astype(jnp.int32)])
+
+
+@partial(jax.jit, static_argnames=("cap", "max_obs"))
+def triangulate_multi_view_from_packed(buf: jnp.ndarray, cap: int,
+                                       max_obs: int) -> jnp.ndarray:
+    """triangulate_multi_view_packed from a SINGLE uploaded int32 buffer
+    [normals | centers | mask] (three host->device transfers cost ~3 relay
+    RPCs at keyframe rate)."""
+    n = cap * max_obs * 3
+    normals = jax.lax.bitcast_convert_type(
+        buf[:n], jnp.float32).reshape(cap, max_obs, 3)
+    centers = jax.lax.bitcast_convert_type(
+        buf[n:2 * n], jnp.float32).reshape(cap, max_obs, 3)
+    mask = buf[2 * n:].reshape(cap, max_obs) > 0
+    return triangulate_multi_view_packed(normals, centers, mask)
 
 
 def endpoints_3d(

@@ -46,17 +46,19 @@ def batched_build_frame(pairs, cam: StereoCamera, cfg: OrbConfig):
 @partial(jax.jit, static_argnames=("cam", "n_levels", "scale", "min_mm",
                                    "close_depth"))
 def batched_track_step(cam, T_pred, last_feats, last_ptpos, last_haspt,
-                       cur, depth, view, inv_sigma2_lut,
-                       n_levels, scale, min_mm, close_depth):
+                       last_ismap, last_prov, cur, depth, view,
+                       inv_sigma2_lut, n_levels, scale, min_mm, close_depth):
     """vmap of the fused per-frame tracking step over the sequence axis.
     All array arguments carry a leading S dim; returns the same packed
     outputs batched."""
-    def one(T_pred, last_feats, last_ptpos, last_haspt, cur, depth, view):
+    def one(T_pred, last_feats, last_ptpos, last_haspt, last_ismap,
+            last_prov, cur, depth, view):
         return _track_step(cam, T_pred, last_feats, last_ptpos, last_haspt,
-                           cur, depth, view, inv_sigma2_lut,
-                           n_levels, scale, min_mm, close_depth)
+                           last_ismap, last_prov, cur, depth, view,
+                           inv_sigma2_lut, n_levels, scale, min_mm,
+                           close_depth)
     return jax.vmap(one)(T_pred, last_feats, last_ptpos, last_haspt,
-                         cur, depth, view)
+                         last_ismap, last_prov, cur, depth, view)
 
 
 class MultiSequenceDriver:
@@ -105,11 +107,14 @@ class MultiSequenceDriver:
             last_feats = stackf(lambda tr: tr._last_feats)
             last_ptpos = stackf(lambda tr: tr._last_ptpos)
             last_haspt = stackf(lambda tr: tr._last_haspt)
+            last_ismap = stackf(lambda tr: tr._last_ismap)
+            last_prov = stackf(lambda tr: tr._last_prov)
             view = stackf(lambda tr: tr._view)
             tr0 = trs[0]
             out = batched_track_step(
                 self.cam, T_pred, last_feats, last_ptpos, last_haspt,
-                fdb.feats, fdb.depth, view, tr0._inv_sigma2_lut,
+                last_ismap, last_prov, fdb.feats, fdb.depth, view,
+                tr0._inv_sigma2_lut,
                 tr0.orb.n_levels, tr0.orb.scale,
                 self.cfg.tracking.min_motion_matches,
                 float(self.cfg.close_depth))
@@ -123,7 +128,10 @@ class MultiSequenceDriver:
                 fd_i = jax.tree.map(lambda a: a[bi], fdb)
                 t1 = _time.perf_counter()
                 tr._track_finalize(fd_i, packed[bi], out[1][bi], out[2][bi],
-                                   timestamps[i], m, tr.frame_id)
+                                   timestamps[i], m, tr.frame_id,
+                                   dev_ismap=out[3][bi],
+                                   dev_prov=out[4][0][bi],
+                                   dev_final=out[5][bi])
                 m.t_step = _time.perf_counter() - t1 - m.t_kf
                 tr._finish_metrics(m)
                 results[i] = (tr.T_cw.copy(), m)

@@ -96,9 +96,14 @@ class LocalMapper:
         # device-resident keyframe feature cache shared with the tracker
         self.cache = cache or KfCache(n_slots=32, n_kp=store.n_kp)
         self._stage_layout = mapper_fast.KfStageLayout(n_kp=store.n_kp)
-        # pending staged work (pipelined mode)
-        self._pending_kf: dict | None = None
+        # pending staged work (pipelined mode): KF stages queue (<= 2 deep)
+        # so back-to-back keyframes inside one finalize burst never force a
+        # blocking absorb of a fetch dispatched milliseconds earlier
+        self._pending_kfq: deque = deque()
         self._pending_ba: dict | None = None
+        # (view, view_pids) future produced by the most recent dispatch_ba
+        # — consumed by the tracker's _adopt_view when it resolves
+        self.pending_view_fut = None
         # set by absorb_kf_stage when the KF's BoW words rode the flat
         # readback: (kf_id, words np.ndarray); consumed by the tracker
         self.absorbed_words: tuple | None = None
@@ -106,6 +111,7 @@ class LocalMapper:
         # >= 2 frame-steps of time to finish the BA program, so the absorb
         # get pays flat transfer latency instead of compute wait
         self._ba_age = 0
+        self._kf_age = 0
         # when set, the tracking view always pads to this capacity (the
         # batched multi-sequence driver needs one shape across sequences)
         self.fixed_tv_cap: int | None = None
@@ -115,10 +121,19 @@ class LocalMapper:
         # of blocking them. Determinism is untouched: the worker only moves
         # buffers; every store mutation stays on the caller's thread.
         from concurrent.futures import ThreadPoolExecutor
-        self._io = ThreadPoolExecutor(max_workers=1,
+        # 2 workers: a stage's flat readback (~140 ms relay latency) must
+        # not delay the next BA upload behind it — absorb order stays
+        # host-side so task ordering across workers is immaterial
+        self._io = ThreadPoolExecutor(max_workers=2,
                                       thread_name_prefix="mapper_io")
 
     # ------------------------------------------------------------------
+
+    def close(self):
+        """Stop the IO worker (called when the tracker replaces this mapper
+        on a full reset — an in-flight io_task may still read the shared
+        cache, so cancel before the caller clears it)."""
+        self._io.shutdown(wait=False, cancel_futures=True)
 
     def cache_frame(self, kf_id: int, feats) -> int:
         """Register a new keyframe's device feature arrays in the cache."""
@@ -131,16 +146,19 @@ class LocalMapper:
         slots = self.cache.slots_of(kf_ids)
         for i, kf in enumerate(kf_ids):
             if slots[i] < 0:
+                self.stage_times["n_cache_miss"] = self.stage_times.get(
+                    "n_cache_miss", 0) + 1
                 buf = jax.device_put(mapper_fast.pack_kf_feats(
                     self.store, int(kf)))
                 feats = mapper_fast.unpack_kf_feats(buf, self.store.n_kp)
                 slots[i] = self.cache.put(int(kf), feats)
         return slots
 
-    def warmup(self):
+    def warmup(self, voc=None):
         """Pre-compile the KF-stage and BA programs at every point-capacity
         bucket (the bucket grows as the map grows; each growth would
-        otherwise pay a ~15-25 s remote compile mid-sequence)."""
+        otherwise pay a ~15-25 s remote compile mid-sequence). `voc` warms
+        the fused kf-stage+BoW-descent variant the loop-closing path uses."""
         s = self.store
         N = s.n_kp
         lay = self._stage_layout
@@ -149,11 +167,12 @@ class LocalMapper:
             self.cam, lay, self.cache.arrays, buf, self._lut_dev,
             s.cfg.n_levels, s.cfg.scale)
         jax.block_until_ready(out)
-        # the flat-readback concat of the staged path (with + without the
-        # BoW word vector riding along)
         jax.block_until_ready(mapper_fast.concat_flat(out[0], out[1]))
-        jax.block_until_ready(mapper_fast.concat_flat(
-            out[0], out[1], jnp.zeros(N, jnp.int32)))
+        if voc is not None:
+            ch, nd, nw = voc.device_arrays()
+            jax.block_until_ready(mapper_fast.kf_stage_words_flat(
+                self.cam, lay, self.cache.arrays, buf, self._lut_dev,
+                ch, nd, nw, s.cfg.n_levels, s.cfg.scale, voc.L)[0])
         if self.enable_lines:
             self._warmup_lines()
             return
@@ -203,26 +222,42 @@ class LocalMapper:
 
     @property
     def busy(self) -> bool:
-        return self._pending_kf is not None or self._pending_ba is not None
+        return bool(self._pending_kfq) or self._pending_ba is not None
+
+    @property
+    def _pending_kf(self):
+        return self._pending_kfq[0] if self._pending_kfq else None
 
     def step_pending(self):
         """Advance the staged pipeline by one absorb+dispatch (called once
         per finalized frame by the pipelined tracker). Returns the new
-        device MapPointView when the BA stage was dispatched, else None."""
-        if self._pending_kf is not None:
-            kf_id = self._pending_kf["kf_id"]
-            self.absorb_kf_stage()
-            return self.dispatch_ba(kf_id)
+        device MapPointView when the BA stage was dispatched, else None.
+
+        Absorbs are OPPORTUNISTIC: a stage is absorbed when its relay fetch
+        has actually landed (fut.done()), or at an age cap as a forcing
+        bound — blocking .result() waits right after dispatch were ~140 ms
+        of main-thread stall per stage (the relay's flat fresh-readback
+        latency)."""
+        if self._pending_kfq:
+            # absorb only when the relay fetch has LANDED — finalizes come
+            # in window bursts, so an age counter degenerates to a blocking
+            # wait; a not-yet-landed stage simply rides to the next burst
+            # (the queue-overflow path in dispatch_kf_stage forces it)
+            if self._pending_kfq[0]["flat_fut"].done():
+                kf_id = self._pending_kfq[0]["kf_id"]
+                self.absorb_kf_stage()
+                return self.dispatch_ba(kf_id)
+            return None
         if self._pending_ba is not None:
             self._ba_age += 1
-            if self._ba_age >= 2:
+            if self._ba_age >= 2 and self._pending_ba["result_fut"].done():
                 self.absorb_ba()
         return None
 
     def flush(self):
         """Absorb all pending staged work synchronously."""
-        if self._pending_kf is not None:
-            kf_id = self._pending_kf["kf_id"]
+        while self._pending_kfq:
+            kf_id = self._pending_kfq[0]["kf_id"]
             self.absorb_kf_stage()
             self.dispatch_ba(kf_id)
         if self._pending_ba is not None:
@@ -235,40 +270,67 @@ class LocalMapper:
         self.flush()
         self.dispatch_kf_stage(kf_id)
         self.absorb_kf_stage()
-        view = self.dispatch_ba(kf_id)
+        view_fut = self.dispatch_ba(kf_id)
         if self._pending_ba is not None:
             self.absorb_ba()
-        return view
+        if view_fut is None:
+            return None
+        self.pending_view_fut = None   # consumed synchronously here
+        return view_fut.result()
 
     # ------------------------------------------------------------------
 
-    def dispatch_kf_stage(self, kf_id: int, words_dev=None):
+    def dispatch_kf_stage(self, kf_id: int, voc=None):
         """Host-side culling + one packed upload + one device dispatch for
-        triangulation & fusion. `words_dev` optionally carries the KF's BoW
-        word ids (loop.closing.dispatch_bow) so they ride the SAME flat
-        readback — each separate device_get costs a flat ~35 ms through the
-        relay, so tri+fuse+words fetch as ONE buffer in absorb_kf_stage."""
+        triangulation & fusion. `voc` optionally passes the loop closer's
+        Vocabulary: the KF's BoW tree descent then runs INSIDE the same
+        program over the cached device descriptors and its word ids ride
+        the SAME flat readback — both a separate descent dispatch and a
+        separate device_get cost a full relay RPC (~25-45 ms each under
+        keyframe-burst load)."""
         import time as _time
         t0 = _time.perf_counter()
+        while len(self._pending_kfq) >= 2:
+            # queue overflow (3 keyframes inside ~one readback window —
+            # rare): force-absorb the oldest stage
+            prev = self._pending_kfq[0]["kf_id"]
+            self.absorb_kf_stage()
+            self.dispatch_ba(prev)
         s = self.store
         s.refresh_obs_counts()
+        t_refresh = _time.perf_counter()
+        self.stage_times["dk_refresh"] = self.stage_times.get(
+            "dk_refresh", 0.0) + (t_refresh - t0)
         # newly created points of this KF enter the culling probation window
         row = s.kf_pt_ids[kf_id]
         new_ids = row[(row >= 0) & (s.pt_first_kf[row.clip(0)] == kf_id)]
         self.note_created(kf_id, new_ids)
         # probation culling over the recent window (LocalMapping.cc:171-206)
-        for src_kf, ids in list(self._recent):
-            if len(ids):
-                s.cull_points(ids, current_kf=kf_id)
+        # — ONE batched call (ages are per point, so the windows merge)
+        recent = [ids for _, ids in self._recent if len(ids)]
+        if recent:
+            s.cull_points(np.concatenate(recent), current_kf=kf_id)
+        t_cull = _time.perf_counter()
+        self.stage_times["dk_cull"] = self.stage_times.get(
+            "dk_cull", 0.0) + (t_cull - t0)
         lay = self._stage_layout
         covis, _ = s.covisible_kfs(kf_id, min_shared=15, top=10)
+        t_c1 = _time.perf_counter()
+        self.stage_times["dk_c1"] = self.stage_times.get(
+            "dk_c1", 0.0) + (t_c1 - t_cull)
         nbs_tri = [int(nb) for nb in covis[:lay.b1 - 1]]
         n_tri = len(nbs_tri)
         nbs_tri = nbs_tri + [kf_id] * (lay.b1 - 1 - n_tri)
         nbs_fuse = [int(nb) for nb in covis[:lay.b2]]
         n_fuse = len(nbs_fuse)
         nbs_fuse = nbs_fuse + [kf_id] * (lay.b2 - n_fuse)
+        t_c2 = _time.perf_counter()
+        self.stage_times["dk_c2"] = self.stage_times.get(
+            "dk_c2", 0.0) + (t_c2 - t_c1)
         slots = self.ensure_cached([kf_id] + nbs_tri + nbs_fuse)
+        t_cov = _time.perf_counter()
+        self.stage_times["dk_covis"] = self.stage_times.get(
+            "dk_covis", 0.0) + (t_cov - t_cull)
         # fuse view: this KF's current points (SearchInNeighbors projects
         # the new KF's points into the neighbors, LocalMapping.cc:470-504)
         my = row[row >= 0]
@@ -277,23 +339,31 @@ class LocalMapper:
         buf_np = mapper_fast.pack_kf_stage(
             lay, s, kf_id, slots[:lay.b1], nbs_tri,
             slots[lay.b1:], nbs_fuse, n_tri, n_fuse, pids)
+        self.stage_times["dk_pack"] = self.stage_times.get(
+            "dk_pack", 0.0) + (_time.perf_counter() - t_cov)
         def io_task():
             buf = jax.device_put(buf_np)
-            tri_bufs, fuse_bufs = mapper_fast.kf_stage_cached(
-                self.cam, lay, self.cache.arrays, buf, self._lut_dev,
-                s.cfg.n_levels, s.cfg.scale)
-            parts = [tri_bufs, fuse_bufs]
-            if words_dev is not None:
-                parts.append(words_dev)
-            flat = np.asarray(mapper_fast.concat_flat(*parts))
+            if voc is not None:
+                ch, nd, nw = voc.device_arrays()
+                flat_d, tri_bufs, fuse_bufs = mapper_fast.kf_stage_words_flat(
+                    self.cam, lay, self.cache.arrays, buf, self._lut_dev,
+                    ch, nd, nw, s.cfg.n_levels, s.cfg.scale, voc.L)
+                flat = np.asarray(flat_d)
+            else:
+                tri_bufs, fuse_bufs = mapper_fast.kf_stage_cached(
+                    self.cam, lay, self.cache.arrays, buf, self._lut_dev,
+                    s.cfg.n_levels, s.cfg.scale)
+                flat = np.asarray(mapper_fast.concat_flat(tri_bufs,
+                                                          fuse_bufs))
             return flat, tuple(tri_bufs.shape), tuple(fuse_bufs.shape)
 
-        self._pending_kf = dict(
+        self._kf_age = 0
+        self._pending_kfq.append(dict(
             kf_id=kf_id, flat_fut=self._io.submit(io_task),
-            has_words=words_dev is not None,
+            has_words=voc is not None,
             nbs_tri=nbs_tri[:n_tri], nbs_fuse=nbs_fuse[:n_fuse],
             pid_arr=np.concatenate(
-                [pids, np.full(lay.view_cap - len(pids), -1, np.int64)]))
+                [pids, np.full(lay.view_cap - len(pids), -1, np.int64)])))
         self.stage_times["dispatch_kf"] = self.stage_times.get(
             "dispatch_kf", 0.0) + (_time.perf_counter() - t0)
 
@@ -301,7 +371,7 @@ class LocalMapper:
         """Write back triangulation + fusion results (host bookkeeping)."""
         import time as _time
         t0 = _time.perf_counter()
-        rec, self._pending_kf = self._pending_kf, None
+        rec = self._pending_kfq.popleft()
         s = self.store
         kf_id = rec["kf_id"]
         lay = self._stage_layout
@@ -415,6 +485,9 @@ class LocalMapper:
             # a new KF arrived before the delayed absorb — flush first so
             # the previous window's results are not overwritten
             self.absorb_ba()
+        t1 = _time.perf_counter()
+        self.stage_times["dba_wait"] = self.stage_times.get(
+            "dba_wait", 0.0) + (t1 - t0)
         self._kf_count += 1
         s = self.store
         if s.n_kf < 2 or self._kf_count % self.ba_interval != 0:
@@ -424,6 +497,8 @@ class LocalMapper:
         if meta is None:
             self.cull_keyframes(kf_id)
             return None
+        self.stage_times["dba_build"] = self.stage_times.get(
+            "dba_build", 0.0) + (_time.perf_counter() - t1)
         # tracking view selection (UpdateLocalPoints, Tracking.cc:1677-1724)
         view_pids = self._select_view_pids(kf_id)
         meta["tv_cap"] = self.fixed_tv_cap or (
@@ -440,6 +515,11 @@ class LocalMapper:
             k_cap=self.k_cap, p_bkt=meta["p_bkt"],
             o_bkt=self._o_bkt(meta["p_bkt"]), tv_cap=meta["tv_cap"],
             n_kp=s.n_kp)
+        vp = np.concatenate([
+            view_pids,
+            np.full(meta["tv_cap"] - len(view_pids), -1, np.int64)])
+        from concurrent.futures import Future
+        view_fut: Future = Future()
         if self.enable_lines:
             # joint point+line window BA, one packed upload
             lmeta = self._line_obs_np(meta["window"])
@@ -450,31 +530,42 @@ class LocalMapper:
                 meta["okf"], meta["ofe"], meta["p_idx"], view_pids,
                 view_p_idx, lmeta["lids"], lmeta["wk"], lmeta["wd"],
                 lmeta["l_idx"])
-            buf = jax.device_put(buf_np)
-            result, view = mapper_fast.joint_ba_view_cached(
-                self.cam, jlay, self.cache.arrays, buf, self._lut_dev,
-                float(self.cfg.line.gamma))
+
+            def io_task():
+                buf = jax.device_put(buf_np)
+                result, view = mapper_fast.joint_ba_view_cached(
+                    self.cam, jlay, self.cache.arrays, buf, self._lut_dev,
+                    float(self.cfg.line.gamma))
+                view_fut.set_result((view, vp))
+                return np.asarray(result)
+
             self._pending_ba = dict(
-                kind="joint", result_fut=self._io.submit(np.asarray, result),
+                kind="joint", result_fut=self._io.submit(io_task),
                 meta=meta, lmeta=lmeta, kf_id=kf_id)
         else:
             buf_np = mapper_fast.pack_ba(
                 lay, s, meta["window"], slots, meta["n_free"], meta["pts"],
                 meta["okf"], meta["ofe"], meta["p_idx"], view_pids,
                 view_p_idx)
-            buf = jax.device_put(buf_np)
-            result, view = mapper_fast.ba_view_cached(
-                self.cam, lay, self.cache.arrays, buf, self._lut_dev)
+
+            def io_task():
+                buf = jax.device_put(buf_np)
+                result, view = mapper_fast.ba_view_cached(
+                    self.cam, lay, self.cache.arrays, buf, self._lut_dev)
+                view_fut.set_result((view, vp))
+                return np.asarray(result)
+
             self._pending_ba = dict(
-                kind="points", result_fut=self._io.submit(np.asarray, result),
+                kind="points", result_fut=self._io.submit(io_task),
                 meta=meta, kf_id=kf_id)
+        # the ~40 ms relay upload + program dispatch ride the IO thread; the
+        # tracker adopts the post-BA view when the future resolves
+        # (_adopt_view) and keeps tracking on the previous view meanwhile
+        self.pending_view_fut = view_fut
         self._ba_age = 0
         self.stage_times["dispatch_ba"] = self.stage_times.get(
             "dispatch_ba", 0.0) + (_time.perf_counter() - t0)
-        vp = np.concatenate([
-            view_pids,
-            np.full(meta["tv_cap"] - len(view_pids), -1, np.int64)])
-        return view, vp
+        return view_fut
 
     def absorb_ba(self):
         """BA writeback + outlier erasure + keyframe culling."""

@@ -202,6 +202,32 @@ def kf_stage_cached(cam: StereoCamera, layout: KfStageLayout,
     return tri_bufs, fuse_bufs
 
 
+@partial(jax.jit, static_argnames=("cam", "layout", "n_levels", "scale",
+                                   "voc_L"))
+def kf_stage_words_flat(cam: StereoCamera, layout: KfStageLayout,
+                        cache: CacheArrays, buf: jnp.ndarray,
+                        inv_sigma2_lut: jnp.ndarray,
+                        voc_ch, voc_nd, voc_nw,
+                        n_levels: int, scale: float, voc_L: int):
+    """kf_stage_cached + the new keyframe's BoW vocabulary descent in ONE
+    program, flattened for a single readback. The descent consumes the KF's
+    cached device descriptors (zero upload); running it as a separate
+    dispatch cost a full relay RPC (~25-45 ms under keyframe-burst load).
+    Returns the concat [tri | fuse | words] plus the component shapes."""
+    from ..loop.bow import _descend
+
+    tri_bufs, fuse_bufs = kf_stage_cached(
+        cam, layout, cache, buf, inv_sigma2_lut, n_levels, scale)
+    s0 = jnp.maximum(_slice_i(buf, layout.offsets["slots_tri"], (1,))[0], 0)
+    words = _descend(voc_ch, voc_nd, voc_nw, cache.desc[s0], voc_L)
+    words = jnp.where(cache.valid[s0], words, -1)
+    flat = jnp.concatenate([tri_bufs.reshape(-1), fuse_bufs.reshape(-1),
+                            words.astype(jnp.int32)])
+    # tri/fuse ride back only inside `flat`; the component arrays are
+    # returned for their STATIC shapes (callers never fetch them)
+    return flat, tri_bufs, fuse_bufs
+
+
 # ---------------------------------------------------------------------------
 # BA stage: windowed BA + on-device tracking-view assembly, one upload
 # ---------------------------------------------------------------------------

@@ -74,8 +74,69 @@ def _gather_pose_obs(
     )
 
 
+def _prov_update(decide, prov_parts):
+    """Next-frame provisional-identity table: when the on-device keyframe
+    decision fires, the frame's close unassociated features become the
+    provisional points (their own feature index is the identity the host
+    resolves against the created keyframe); otherwise the carried table
+    propagates (see _track_core docstring)."""
+    carried, close_unassoc = prov_parts
+    n = carried.shape[0]
+    fresh = jnp.where(close_unassoc, jnp.arange(n, dtype=jnp.int32), -1)
+    return jnp.where(decide > 0, fresh, carried)
+
+
+def _pack_bits(b: jnp.ndarray) -> jnp.ndarray:
+    """(M,) bool -> (ceil(M/32),) int32 little-endian bit words."""
+    m = b.shape[0]
+    pad = (-m) % 32
+    if pad:
+        b = jnp.concatenate([b, jnp.zeros(pad, bool)])
+    w = (b.reshape(-1, 32).astype(jnp.uint32)
+         << jnp.arange(32, dtype=jnp.uint32)[None]).sum(
+             axis=-1, dtype=jnp.uint32)
+    return jax.lax.bitcast_convert_type(w, jnp.int32)
+
+
+def _unpack_bits_np(w: "np.ndarray", m: int) -> "np.ndarray":
+    """Inverse of _pack_bits on host."""
+    bits = np.unpackbits(w.view(np.uint8), bitorder="little")
+    return bits[:m].astype(bool)
+
+
+def _kf_decision(packed, since_kf, kf_scal, min_gap: int, max_gap: int):
+    """On-device NeedNewKeyFrame (Tracking.cc:1223-1310): computed INSIDE the
+    chained step from the per-frame stats so the decision carries ZERO
+    readback latency — the host only reacts to the flag when the ring window
+    arrives, which lets the readback window widen without stale decisions
+    over-firing keyframes (the round-3 ceiling). `since_kf` is a device
+    counter of frames since the last fired decision (the min-gap/max-gap
+    gates stay exact for in-flight frames). `kf_scal` = [ref_m, kappa]:
+    ref_m is the reference-KF tracked-point count; when a decision fires it
+    is refreshed ON DEVICE as kappa * n_in — the new reference IS this
+    frame, and kappa calibrates the frame's inlier count down to the >=3-
+    observation count the host actually uses (_refresh_ref_matches), as
+    measured at the previous keyframe. The host's exact value (and a fresh
+    kappa) swaps in via a side-thread upload once the keyframe is created.
+    Without the calibration the raw n_in over-estimates ref_m ~2x and the
+    weak gate fires a keyframe every min_gap frames (measured 16 KFs/40
+    frames vs the host schedule's 10)."""
+    stats = packed[16:22]
+    n_in, tracked_close, untracked_close = stats[1], stats[2], stats[3]
+    ref_m, kappa = kf_scal[0], kf_scal[1]
+    gap = since_kf + 1
+    weak = n_in.astype(jnp.float32) < 0.75 * ref_m
+    need_close = (tracked_close < 100) & (untracked_close > 70)
+    too_old = gap >= max_gap
+    decide = (n_in > 15) & (gap >= min_gap) \
+        & (weak | need_close | too_old)
+    since2 = jnp.where(decide, 0, gap)
+    refm2 = jnp.where(decide, kappa * n_in.astype(jnp.float32), ref_m)
+    return decide.astype(jnp.int32), since2, jnp.stack([refm2, kappa])
+
+
 @partial(jax.jit, static_argnames=("cam", "n_levels", "scale", "min_mm",
-                                   "close_depth"))
+                                   "close_depth", "min_gap", "max_gap"))
 def _track_step_chained(
     cam: StereoCamera,
     T_prev: jnp.ndarray,
@@ -87,12 +148,18 @@ def _track_step_chained(
     depth: jnp.ndarray,
     view: matching.MapPointView,
     inv_sigma2_lut: jnp.ndarray,
+    last_ismap: jnp.ndarray,
+    last_prov: jnp.ndarray,
+    since_kf: jnp.ndarray,
+    kf_scal: jnp.ndarray,
     ring: jnp.ndarray,
     slot: jnp.ndarray,
     n_levels: int,
     scale: float,
     min_mm: int,
     close_depth: float,
+    min_gap: int,
+    max_gap: int,
 ):
     """Pipelined variant: the motion prediction T_pred = vel @ T_prev and the
     velocity update happen ON DEVICE, so frame i+1 can be dispatched before
@@ -105,15 +172,23 @@ def _track_step_chained(
     the WHOLE ring in one device_get every W frames. Through the tunneled
     relay a fresh-buffer readback costs ~120 ms flat, so fetching W frames
     per transfer is the difference between ~8 and ~25+ fps (measured; see
-    StereoTracker.readback_window). Returns (packed, X2, ok, T2, vel2,
-    ring')."""
+    StereoTracker.readback_window). The keyframe decision runs on device
+    too (_kf_decision) and rides the packed row at index 22. Returns
+    (packed, ptpos2, haspt2, ismap2, prov2, T2, vel2, ring', since_kf',
+    kf_scal')."""
     T_pred = vel_prev @ T_prev
-    packed, X2, ok, T2 = _track_core(
-        cam, T_pred, last_feats, last_ptpos, last_haspt, cur, depth, view,
-        inv_sigma2_lut, n_levels, scale, min_mm, close_depth)
+    packed, ptpos2, haspt2, ismap2, prov_parts, _, T2 = _track_core(
+        cam, T_pred, last_feats, last_ptpos, last_haspt, last_ismap,
+        last_prov, cur, depth, view, inv_sigma2_lut, n_levels, scale,
+        min_mm, close_depth)
+    decide, since2, scal2 = _kf_decision(packed, since_kf, kf_scal,
+                                         min_gap, max_gap)
+    prov2 = _prov_update(decide, prov_parts)
+    packed = jnp.concatenate([packed[:22], decide[None], packed[22:]])
     vel2 = T2 @ jnp.linalg.inv(T_prev)
     ring = jax.lax.dynamic_update_slice(ring, packed[None], (slot, 0))
-    return packed, X2, ok, T2, vel2, ring
+    return (packed, ptpos2, haspt2, ismap2, prov2, T2, vel2, ring, since2,
+            scal2)
 
 
 @partial(jax.jit, static_argnames=("cam", "n_levels", "scale", "min_mm",
@@ -124,6 +199,8 @@ def _track_step(
     last_feats: matching.FrameFeatures,
     last_ptpos: jnp.ndarray,
     last_haspt: jnp.ndarray,
+    last_ismap: jnp.ndarray,
+    last_prov: jnp.ndarray,
     cur: matching.FrameFeatures,
     depth: jnp.ndarray,
     view: matching.MapPointView,
@@ -133,9 +210,9 @@ def _track_step(
     min_mm: int,
     close_depth: float,
 ):
-    return _track_core(cam, T_pred, last_feats, last_ptpos, last_haspt, cur,
-                       depth, view, inv_sigma2_lut, n_levels, scale, min_mm,
-                       close_depth)
+    return _track_core(cam, T_pred, last_feats, last_ptpos, last_haspt,
+                       last_ismap, last_prov, cur, depth, view,
+                       inv_sigma2_lut, n_levels, scale, min_mm, close_depth)
 
 
 def _track_core(
@@ -144,6 +221,8 @@ def _track_core(
     last_feats: matching.FrameFeatures,
     last_ptpos: jnp.ndarray,
     last_haspt: jnp.ndarray,
+    last_ismap: jnp.ndarray,
+    last_prov: jnp.ndarray,
     cur: matching.FrameFeatures,
     depth: jnp.ndarray,
     view: matching.MapPointView,
@@ -159,9 +238,34 @@ def _track_core(
     a single XLA computation removes ~8 host<->device round trips per frame
     (each paying remote-tunnel latency) that dominated the first profile.
 
-    Returns (T (4,4), kp2last (N,), kp2pt_local (N,), final inlier mask (N,),
-    in_frustum (P,), n_mm, n_inliers, tracked_close, untracked_close,
-    new last_ptpos (N,3), new last_haspt (N,)).
+    TEMPORAL ("visual odometry") seeding: the reference creates depth-
+    unprojected temporary MapPoints for the last frame's close features so
+    motion-model tracking never starves (UpdateLastFrame,
+    Tracking.cc:830-883 — gated there on localization-only mode because the
+    concurrent LocalMapping thread keeps the full-SLAM map fresh). In this
+    deterministic pipeline the map update is staged several frames behind
+    the dispatch chain, so the SAME mechanism runs every frame ON DEVICE:
+    close features without a landmark carry a depth-unprojected position
+    into the next frame's chain. The `last_ismap` mask keeps the keyframe-
+    decision statistics map-only (mnMatchesInliers counts real MapPoints,
+    Tracking.cc:1206), so temporal matches stabilize the POSE without
+    masking map starvation from NeedNewKeyFrame.
+
+    PROVISIONAL identity (`last_prov`): when the on-device KF decision
+    fires, the frame's close unassociated features are exactly the points
+    CreateNewKeyFrame will make (Tracking.cc:1386-1430). Their origin
+    feature index is seeded into the chain (_prov_update) and PROPAGATED
+    through the per-frame matches here, so (a) they count as map matches
+    in the decision statistics — the reference's mapper makes them real
+    within a frame, ours within a readback window — and (b) the host
+    resolves them to the created point ids at finalize, recording real
+    observations. Without this, every feature born between readbacks is
+    invisible to the map for the full fetch latency and the tracked-close
+    statistic collapses (measured: n_in 1355 -> 25 over 30 frames).
+
+    Returns (packed, new_ptpos (N,3), new_haspt (N,), new_ismap (N,),
+    new_prov (N,), final_ok (N,) — association inliers incl. temporal, for
+    the line-step pose observations — and T2 (4,4)).
     """
     obs = jnp.concatenate([cur.xy, cur.ur[:, None]], axis=-1)
     lut = inv_sigma2_lut[cur.octave]
@@ -196,33 +300,57 @@ def _track_core(
     valid2 = (use_l | (kp2last >= 0)) & cur.valid
     pobs2 = pose_opt.PointPoseObs(
         X=X2, obs=obs, inv_sigma2=lut, is_stereo=is_stereo, valid=valid2)
-    T2, pt_in2, _, n_in = pose_opt.optimize_pose(cam, T1, pobs2)
+    T2, pt_in2, _, _ = pose_opt.optimize_pose(cam, T1, pobs2)
 
     final_ok = valid2 & pt_in2
-    # keyframe-decision close-point counts (Tracking.cc:1282-1295)
+    # provisional identity carried through the last-frame match
+    carried = jnp.where((kp2last >= 0) & final_ok,
+                        last_prov[jnp.maximum(kp2last, 0)], -1)
+    # map-only association mask: a local-view hit IS a map point; a
+    # last-frame hit inherits the carried flag (temporal seeds are False,
+    # provisional keyframe-born features count as map — see docstring)
+    ismap2 = use_l | ((kp2last >= 0) & last_ismap[jnp.maximum(kp2last, 0)]) \
+        | (carried >= 0)
+    map_ok = final_ok & ismap2
+    n_in = jnp.sum(map_ok)
+    # keyframe-decision close-point counts, MAP-only (Tracking.cc:1282-1295)
     close = (depth > 0) & (depth < close_depth) & cur.valid
-    tracked_close = jnp.sum(close & final_ok)
-    untracked_close = jnp.sum(close & ~final_ok)
+    tracked_close = jnp.sum(close & map_ok)
+    untracked_close = jnp.sum(close & ~map_ok)
     n_kp = jnp.sum(cur.valid)
     n_stereo = jnp.sum((cur.ur >= 0) & cur.valid)
-    # pack EVERY host-bound output into ONE int32 vector (pose bitcast in):
-    # each device_get leaf pays a ~35 ms tunnel round trip regardless of
-    # size, so one 60 KB transfer beats a dozen small ones by an order of
-    # magnitude
+    # next-frame chain state with temporal seeding: associated features keep
+    # their landmark (or carried temporal) position; unassociated close
+    # features seed from stereo depth at the solved pose
+    T_wc = jnp.linalg.inv(T2)
+    zc = jnp.maximum(depth, 1e-6)
+    Xc = jnp.stack([(cur.xy[:, 0] - cam.cx) * zc / cam.fx,
+                    (cur.xy[:, 1] - cam.cy) * zc / cam.fy, zc], axis=-1)
+    Xw_depth = Xc @ T_wc[:3, :3].T + T_wc[:3, 3]
+    new_ptpos = jnp.where(final_ok[:, None], X2, Xw_depth)
+    new_haspt = final_ok | close
+    new_ismap = final_ok & ismap2
+    close_unassoc = close & ~final_ok
+    # pack EVERY host-bound output into ONE int32 vector (pose bitcast in;
+    # boolean masks as 32x bit-packed words): the ring readback pays
+    # ~25 ms latency + bytes/30MB/s per window, so bytes matter
     packed = jnp.concatenate([
         jax.lax.bitcast_convert_type(T2.reshape(-1), jnp.int32),
         jnp.stack([n_mm, n_in, tracked_close, untracked_close,
                    n_kp, n_stereo]).astype(jnp.int32),
         kp2last.astype(jnp.int32),
         kp2pt_l.astype(jnp.int32),
-        final_ok.astype(jnp.int32),
-        in_frustum.astype(jnp.int32),
+        _pack_bits(map_ok),
+        _pack_bits(in_frustum),
+        carried.astype(jnp.int32),
     ])
-    return packed, X2, final_ok, T2
+    return (packed, new_ptpos, new_haspt, new_ismap,
+            (carried, close_unassoc), final_ok, T2)
 
 
 @partial(jax.jit, static_argnames=("cam", "n_levels", "scale", "min_mm",
-                                   "close_depth", "gamma", "md_thr"))
+                                   "close_depth", "gamma", "md_thr",
+                                   "min_gap", "max_gap"))
 def _track_step_chained_lines(
     cam: StereoCamera,
     T_prev: jnp.ndarray,
@@ -236,6 +364,10 @@ def _track_step_chained_lines(
     inv_sigma2_lut: jnp.ndarray,
     ln_x0, ln_d, ln_desc, ln_oct, ln_valid,   # padded map-line view
     fl,                                        # line_match.FrameLines
+    last_ismap: jnp.ndarray,
+    last_prov: jnp.ndarray,
+    since_kf: jnp.ndarray,
+    kf_scal: jnp.ndarray,
     ring: jnp.ndarray,
     slot: jnp.ndarray,
     n_levels: int,
@@ -244,33 +376,43 @@ def _track_step_chained_lines(
     close_depth: float,
     gamma: float,
     md_thr: float,
+    min_gap: int,
+    max_gap: int,
 ):
     """Pipelined variant WITH the line pipeline chained in: point tracking,
     then line association + joint point/line pose refinement
     (AddLinesFrom + line edges of PoseOptimization, reference
     Tracking.cc:996-1124 / Optimizer.cc:653-931) as ONE device program.
     The packed buffer appends [det2ln (Ld,), n_line] and carries the
-    line-refined pose T3."""
+    line-refined pose T3; the on-device keyframe decision rides index 22
+    as in _track_step_chained."""
     T_pred = vel_prev @ T_prev
-    packed, X2, ok, T2 = _track_core(
-        cam, T_pred, last_feats, last_ptpos, last_haspt, cur, depth, view,
-        inv_sigma2_lut, n_levels, scale, min_mm, close_depth)
+    packed, ptpos2, haspt2, ismap2, prov_parts, final_ok, T2 = _track_core(
+        cam, T_pred, last_feats, last_ptpos, last_haspt, last_ismap,
+        last_prov, cur, depth, view, inv_sigma2_lut, n_levels, scale,
+        min_mm, close_depth)
     obs = jnp.concatenate([cur.xy, cur.ur[:, None]], axis=-1)
     pobs = pose_opt.PointPoseObs(
-        X=X2, obs=obs, inv_sigma2=inv_sigma2_lut[cur.octave],
-        is_stereo=cur.ur >= 0, valid=ok)
+        X=ptpos2, obs=obs, inv_sigma2=inv_sigma2_lut[cur.octave],
+        is_stereo=cur.ur >= 0, valid=final_ok)
     T3, det2ln, n_line = _line_step(
         cam, T2, ln_x0, ln_d, ln_desc, ln_oct, ln_valid, fl, pobs,
         gamma, md_thr)
+    decide, since2, scal2 = _kf_decision(packed, since_kf, kf_scal,
+                                         min_gap, max_gap)
+    prov2 = _prov_update(decide, prov_parts)
     vel2 = T3 @ jnp.linalg.inv(T_prev)
     packed = jnp.concatenate([
         jax.lax.bitcast_convert_type(T3.reshape(-1), jnp.int32),
-        packed[16:],
+        packed[16:22],
+        decide[None],
+        packed[22:],
         det2ln.astype(jnp.int32),
         n_line.astype(jnp.int32)[None],
     ])
     ring = jax.lax.dynamic_update_slice(ring, packed[None], (slot, 0))
-    return packed, X2, ok, T3, vel2, ring
+    return (packed, ptpos2, haspt2, ismap2, prov2, T3, vel2, ring, since2,
+            scal2)
 
 
 @partial(jax.jit, static_argnames=("cam", "gamma", "md_thr"))
@@ -379,6 +521,8 @@ class TrackMetrics:
     n_stereo: int = 0
     n_motion_matches: int = 0
     n_inliers: int = 0
+    n_tracked_close: int = 0
+    n_untracked_close: int = 0
     new_kf: bool = False
     n_points: int = 0
     n_kfs: int = 0
@@ -410,6 +554,10 @@ class StereoTracker:
         self.ref_kf = -1
         self.last_kf_frame = -1
         self.frame_id = -1
+        self._ref_matches = 0
+        # measured ratio ref_matches/n_in at the last keyframe — calibrates
+        # the on-device weak-gate approximation (_kf_decision)
+        self._kappa = 0.7
         self.logs: list[FrameLog] = []
         self.metrics: list[TrackMetrics] = []
         self.kf_timings: list[dict] = []
@@ -417,6 +565,11 @@ class StereoTracker:
         self._last_feats = None
         self._last_ptpos = None    # (N, 3) world position per keypoint
         self._last_haspt = None    # (N,) bool
+        self._last_ismap = None    # (N,) bool: position is a real MapPoint
+        self._last_prov = None     # (N,) int32 provisional origin feature
+        # feature index -> created point id table of the LAST keyframe
+        # (resolves on-device provisional identities at finalize)
+        self._prov_kf_pid = None
         self._last_kp2pt = None    # (N,) np global point id
         self._inv_sigma2_lut = jnp.asarray(np.power(
             1.0 / self.orb.scale ** 2, np.arange(self.orb.n_levels))).astype(jnp.float32)
@@ -440,15 +593,40 @@ class StereoTracker:
         self._dev_T = None
         self._dev_vel = None
         self._resync = True
+        # on-device KF-decision chain state (see _kf_decision): a device
+        # frames-since-KF counter + the host-computed ref-KF match count
+        # (refreshed by a side-thread upload at each keyframe)
+        self._dev_since = None
+        self._dev_refm = None
+        self._refm_fut = None
+        # completed ring windows whose device_get runs on the tracker IO
+        # pool: deque of (recs, future) — finalized in order when each fetch
+        # lands, so the ~140 ms flat relay readback never blocks the
+        # dispatch thread. ONE fetch in flight: every additional concurrent
+        # RPC stream through the relay head-of-line-blocks the per-frame
+        # dispatches themselves (measured: avg dispatch 0.1 -> 25 ms with
+        # two fetch streams + mapper traffic). The on-device provisional
+        # point identity (_track_core) keeps tracking healthy across the
+        # resulting fetch-latency lag.
+        from collections import deque
+        self._ring_inflight = deque()
+        self._tr_io = None
+        if pipeline:
+            from concurrent.futures import ThreadPoolExecutor
+            self._tr_io = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="tracker_io")
         self._mono = False
         self._init_ref = None
-        # staged loop-closing state: (kf_id, device word ids) awaiting absorb
-        self._pending_loop = None
+        # staged loop-closing queue: [kf_id, words|None] entries awaiting
+        # absorb (words filled in when the KF's stage readback lands)
+        from collections import deque as _deque
+        self._pending_loops = _deque()
         # line pipeline (the LLD differentiator; off when ldType is `empty`,
         # matching the reference config gate)
         self.enable_lines = cfg.line.enabled
         self._cur_lines = None
         self._line_view = None
+        self._line_view_fut = None
         self._line_view_ids = None
         self.line_view_cap = 512
         if self.enable_lines:
@@ -713,18 +891,38 @@ class StereoTracker:
     def _process_pipelined(self, fd: FrameData, timestamp: float,
                            m: TrackMetrics):
         import time as _time
-        ret = None
-        if self._pending and self._resync:
+        # opportunistic absorb: finalize the previous ring window if its
+        # side-thread fetch already landed (spreads host bookkeeping across
+        # frames; the dispatch thread never waits on a fresh readback).
+        # Finalizing old recs overwrites _cur_fl (keyframe-line creation
+        # reads it) — restore the CURRENT frame's lines before dispatching.
+        cur_fl = self._cur_fl if self.enable_lines else None
+        ret = self._absorb_ring(block=False)
+        if (self._pending or self._ring_inflight) and self._resync:
             # chain poisoned (LOST/fallback/loop jump): fix host state first
             ret = self.flush()
         if self._resync or self._dev_T is None:
             self._dev_T = jnp.asarray(self.T_cw)
             self._dev_vel = jnp.asarray(self.velocity)
+            self._dev_since = jnp.asarray(np.int32(
+                max(0, self.frame_id - 1 - self.last_kf_frame)))
+            self._dev_refm = jnp.asarray(
+                np.float32([self._ref_matches, self._kappa]))
+            self._refm_fut = None
             self._resync = False
+        if self._refm_fut is not None and self._refm_fut.done():
+            # the post-KF reference match count arrived: swap it into the
+            # decision chain (the device counter itself is authoritative)
+            self._dev_refm = self._refm_fut.result()
+            self._refm_fut = None
+        if self.enable_lines:
+            self._cur_fl = cur_fl
         t0 = _time.perf_counter()
-        prev = (self._last_feats, self._last_ptpos, self._last_haspt)
-        with_lines = (self.enable_lines and self._line_view is not None
-                      and self._cur_fl is not None)
+        prev = (self._last_feats, self._last_ptpos,
+                self._last_haspt, self._last_ismap, self._last_prov)
+        with_lines = (self.enable_lines and self._cur_fl is not None
+                      and (self._line_view is not None
+                           or self._line_view_fut is not None))
         # device ring for batched readback: each chained step writes its
         # packed output into row `slot`; the host fetches the whole ring in
         # ONE device_get every W frames (a fresh-buffer readback through the
@@ -732,32 +930,44 @@ class StereoTracker:
         # the throughput ceiling). A packed-length change (view-capacity
         # growth, lines toggling) flushes and reallocates.
         W = self.readback_window
-        L = 22 + 3 * self.store.n_kp + len(self._view_pid)
+        n_kp_ = self.store.n_kp
+        L = (23 + 3 * n_kp_ + -(-n_kp_ // 32)
+             + -(-len(self._view_pid) // 32))
         if with_lines:
             L += self.store.n_ln_det + 1
         if self._dev_ring is None or self._dev_ring.shape != (W, L):
-            if self._pending:
+            if self._pending or self._ring_inflight:
                 ret = self.flush()
             self._dev_ring = jnp.zeros((W, L), jnp.int32)
             self._ring_slot = 0
+        # min gap 3: the deterministic analogue of the reference's
+        # LocalMapping-idle damper (NeedNewKeyFrame c1b, Tracking.cc:1282 —
+        # insertion waits for the mapper unless interrupted); our staged
+        # mapper is busy for ~3 finalized frames after each keyframe
+        min_gap = max(self.cfg.tracking.min_frames_between_kf, 3)
+        max_gap = self.cfg.tracking.max_frames_between_kf
         if with_lines:
             out = _track_step_chained_lines(
                 self.cam, self._dev_T, self._dev_vel, self._last_feats,
                 self._last_ptpos, self._last_haspt, fd.feats, fd.depth,
-                self._view, self._inv_sigma2_lut, *self._line_view,
-                self._cur_fl, self._dev_ring, self._ring_slot,
+                self._view, self._inv_sigma2_lut, *self._get_line_view(),
+                self._cur_fl, self._last_ismap, self._last_prov,
+                self._dev_since, self._dev_refm, self._dev_ring,
+                self._ring_slot,
                 self.orb.n_levels, self.orb.scale,
                 self.cfg.tracking.min_motion_matches,
                 float(self.cfg.close_depth), float(self.cfg.line.gamma),
-                float(self._md_gate))
+                float(self._md_gate), min_gap, max_gap)
         else:
             out = _track_step_chained(
                 self.cam, self._dev_T, self._dev_vel, self._last_feats,
                 self._last_ptpos, self._last_haspt, fd.feats, fd.depth,
-                self._view, self._inv_sigma2_lut, self._dev_ring,
-                self._ring_slot, self.orb.n_levels, self.orb.scale,
+                self._view, self._inv_sigma2_lut, self._last_ismap,
+                self._last_prov, self._dev_since, self._dev_refm,
+                self._dev_ring, self._ring_slot,
+                self.orb.n_levels, self.orb.scale,
                 self.cfg.tracking.min_motion_matches,
-                float(self.cfg.close_depth))
+                float(self.cfg.close_depth), min_gap, max_gap)
         # NOTE: no copy_to_host_async here - through the axon relay it is a
         # SYNCHRONOUS full round trip (~70-170 ms measured), not an async
         # enqueue; issuing it per frame serialized the whole pipeline
@@ -766,36 +976,102 @@ class StereoTracker:
         rec = dict(fd=fd, out=out, ts=timestamp, m=m, fid=self.frame_id,
                    view_pid=self._view_pid,
                    view_cap=len(self._view_pid), prev=prev,
-                   ring_slot=self._ring_slot, ring_after=out[5])
+                   ring_slot=self._ring_slot, ring_after=out[7])
+        # pre-dispatch the packed feature snapshot (a ~0.4 ms device
+        # program): if this frame becomes a keyframe, the host fetch hits a
+        # long-READY buffer (~15 ms) instead of a fresh one (~140 ms)
+        from ..frontend.frame import pack_frame
+        rec["snap_dev"] = pack_frame(fd)
         if with_lines:
             rec["fl"] = self._cur_fl
             rec["line_view_ids"] = self._line_view_ids
-        self._dev_T, self._dev_vel = out[3], out[4]
-        self._dev_ring = out[5]
+            rec["lines_snap_dev"] = _pack_frame_lines(self._cur_fl)
+        self._dev_T, self._dev_vel = out[5], out[6]
+        self._dev_ring = out[7]
+        self._dev_since, self._dev_refm = out[8], out[9]
         self._ring_slot += 1
         self._last_feats = fd.feats
         self._last_ptpos, self._last_haspt = out[1], out[2]
+        self._last_ismap, self._last_prov = out[3], out[4]
         self._pending.append(rec)
-        # fetch + finalize at each full window. Fetching with an extra lag
-        # (so the ring version is already computed) makes the get cheaper
-        # (~25 vs ~35 ms/frame) but was measured SLOWER end-to-end: the
-        # staler KF decision over-fires keyframes (13-17 vs 10 per 40
-        # frames) and the extra KF work dwarfs the readback saving.
-        if self._ring_slot >= W:
+        # adaptive fetch cadence: while the map is YOUNG every map update
+        # matters (new landmarks dominate the view), so finalize in very
+        # short windows until the first keyframes land
+        n_kf = self.store.n_kf
+        W_eff = min(W, 4) if n_kf >= 4 else min(W, 2)
+        if self._ring_slot >= W_eff:
+            # window complete: hand the ring fetch to the IO pool and keep
+            # dispatching — finalize happens when the readback lands (the
+            # on-device KF decision makes the fetch-latency lag safe: the
+            # decision was taken at frame rate on device, not at fetch rate
+            # on the host)
             self._ring_slot = 0
             recs, self._pending = self._pending, []
+            if self._ring_inflight:
+                r2 = self._absorb_ring(block=True)  # keep windows ordered
+                if r2 is not None:
+                    ret = r2
+            if self._resync:
+                # the absorb poisoned the chain; the window just dispatched
+                # is finalized through the resync path on the next call
+                self._pending = recs
+            else:
+                fut = self._tr_io.submit(np.asarray, recs[-1]["ring_after"])
+                self._ring_inflight.append((recs, fut))
+        return ret if ret is not None else (self.T_cw.copy(), None)
+
+    def _absorb_ring(self, block: bool):
+        """Finalize completed ring windows whose fetches ride the tracker
+        IO pool, oldest first. Non-blocking unless `block` (then the OLDEST
+        window is waited for; newer done windows drain too)."""
+        import time as _time
+        ret = None
+        first = True
+        while self._ring_inflight:
+            recs, fut = self._ring_inflight[0]
+            if not fut.done() and not (block and first):
+                break
+            first = False
             t_g = _time.perf_counter()
-            batch = np.asarray(recs[-1]["ring_after"])
+            batch = fut.result()
             recs[-1]["m"].t_get = _time.perf_counter() - t_g
+            self._ring_inflight.popleft()
+            self._prefetch_kf_snaps(recs, batch)
             for r in recs:
                 ret = self._finalize_rec(r, packed_np=batch[r["ring_slot"]])
-        return ret if ret is not None else (self.T_cw.copy(), None)
+            if self._resync:
+                break
+        return ret
+
+    def _prefetch_kf_snaps(self, recs, batch):
+        """Scan a fetched window's on-device KF flags and start the keyframe
+        feature snapshots (a ~15-40 ms relay readback each) on the IO thread
+        before the finalize loop reaches them."""
+        if self._tr_io is None or self.localization_only:
+            return
+        from ..frontend.frame import unpack_frame_np
+        n_kp = self.store.n_kp
+
+        def fetch_snap(dev):
+            return unpack_frame_np(np.asarray(dev), n_kp)
+
+        for r in recs:
+            if batch[r["ring_slot"]][22] > 0:
+                r["snap_fut"] = self._tr_io.submit(fetch_snap,
+                                                   r["snap_dev"])
+                if "fl" in r:
+                    r["lines_snap_fut"] = self._tr_io.submit(
+                        np.asarray, r["lines_snap_dev"])
 
     def flush(self):
         """Finalize all in-flight pipelined frames (one ring fetch) and
         absorb any staged keyframe work (sequence end, resync, or before
         synchronous processing)."""
         ret = None
+        while getattr(self, "_ring_inflight", None):
+            r = self._absorb_ring(block=True)
+            if r is not None:
+                ret = r
         while getattr(self, "_pending", None):
             # one ring window at a time (slot wraps to 0 at a window edge);
             # the window's last rec's ring version holds all its rows
@@ -804,9 +1080,12 @@ class StereoTracker:
                     and self._pending[0]["ring_slot"] > recs[-1]["ring_slot"]:
                 recs.append(self._pending.pop(0))
             batch = np.asarray(recs[-1]["ring_after"])
+            if not self._resync:
+                self._prefetch_kf_snaps(recs, batch)
             for rec in recs:
-                ret = self._finalize_rec(rec,
-                                         packed_np=batch[rec["ring_slot"]])
+                r = self._finalize_rec(rec, packed_np=batch[rec["ring_slot"]])
+                if r is not None:
+                    ret = r
         self._ring_slot = 0
         self._flush_kf_pipeline()
         return ret
@@ -814,46 +1093,50 @@ class StereoTracker:
     def _flush_kf_pipeline(self):
         """Absorb pending staged mapper/loop work synchronously."""
         mp = self.mapper
-        if mp._pending_kf is not None:
-            kf_id = mp._pending_kf["kf_id"]
-            mp.absorb_kf_stage()
-            out = mp.dispatch_ba(kf_id)
-            if out is not None:
-                self._view, self._view_pid = out
-        if mp._pending_ba is not None:
-            mp.absorb_ba()
-        if mp.absorbed_words is not None:
-            wkf, words = mp.absorbed_words
-            mp.absorbed_words = None
-            if self._pending_loop is not None and self._pending_loop[0] == wkf:
-                self._pending_loop = (wkf, words)
-        if self._pending_loop is not None:
+        mp.flush()
+        self._adopt_view()
+        self._match_loop_words()
+        while self._pending_loops:
             self._absorb_loop()
+
+    def _adopt_view(self):
+        """Adopt the mapper's freshest post-BA tracking view once its
+        IO-thread dispatch has resolved (dispatch_ba fires from paths whose
+        return value no caller sees; until then the previous view keeps
+        tracking)."""
+        fut = self.mapper.pending_view_fut
+        if fut is not None and fut.done():
+            self.mapper.pending_view_fut = None
+            self._view, self._view_pid = fut.result()
 
     def _step_kf_pipeline(self):
         """Advance the staged keyframe pipeline by one stage per finalized
         frame (the deterministic analogue of the LocalMapping/LoopClosing
         thread overlap, reference src/LocalMapping.cc:48-113). Returns True
         when a loop correction rewrote the map (callers must resync)."""
-        out = self.mapper.step_pending()
-        if out is not None:
-            self._view, self._view_pid = out
-        if self.mapper.absorbed_words is not None:
-            wkf, words = self.mapper.absorbed_words
-            self.mapper.absorbed_words = None
-            if self._pending_loop is not None and self._pending_loop[0] == wkf:
-                self._pending_loop = (wkf, words)
-        if self._pending_loop is not None \
-                and self._pending_loop[1] is not None \
+        self.mapper.step_pending()
+        self._adopt_view()
+        self._match_loop_words()
+        if self._pending_loops and self._pending_loops[0][1] is not None \
                 and not self.mapper.busy:
             return self._absorb_loop()
         return False
 
+    def _match_loop_words(self):
+        """Attach freshly absorbed staged BoW words to their queued loop
+        entry."""
+        if self.mapper.absorbed_words is not None:
+            wkf, words = self.mapper.absorbed_words
+            self.mapper.absorbed_words = None
+            for e in self._pending_loops:
+                if e[0] == wkf:
+                    e[1] = words
+                    break
+
     def _absorb_loop(self) -> bool:
         """Absorb the staged BoW words -> loop detection for a keyframe
         (+ full Sim3/correction when a loop fires — rare)."""
-        kf_id, words = self._pending_loop
-        self._pending_loop = None
+        kf_id, words = self._pending_loops.popleft()
         if self.loop_closer is None:
             return False
         T_ref_old = self.store.kf_pose[self.ref_kf].copy()
@@ -915,18 +1198,21 @@ class StereoTracker:
             n_line = int(packed[-1])
             packed = packed[:-(ld + 1)]
         (T_np, n_mm, n_in, tracked_close, untracked_close, n_kp, n_st,
-         kp2last, kp2pt_l, ok, in_frustum) = self._unpack(
-             packed, rec["view_cap"])
+         kp2last, kp2pt_l, ok, in_frustum, prov, decide) = self._unpack(
+             packed, rec["view_cap"], has_decide=True)
         m.n_motion_matches = int(n_mm)
         m.n_kp = int(n_kp)
         m.n_stereo = int(n_st)
+        m.n_tracked_close = int(tracked_close)
+        m.n_untracked_close = int(untracked_close)
 
         if n_in < self.cfg.tracking.min_track_inliers:
             # weak — rerun this frame synchronously (ref-KF fallback / LOST
             # handling live there) and poison the chain for the in-flight
             # frame
             self._resync = True
-            self._last_feats, self._last_ptpos, self._last_haspt = rec["prev"]
+            (self._last_feats, self._last_ptpos, self._last_haspt,
+             self._last_ismap, self._last_prov) = rec["prev"]
             self._cur_fl = rec.get("fl")
             self._track(rec["fd"], rec["ts"], m, fid=rec["fid"])
             m.t_step = _time.perf_counter() - t0 - m.t_kf
@@ -948,6 +1234,12 @@ class StereoTracker:
             np.where(kp2last >= 0,
                      self._last_kp2pt[np.maximum(kp2last, 0)], -1),
         ).astype(np.int32)
+        if self._prov_kf_pid is not None:
+            # resolve on-device provisional identities to the point ids the
+            # last keyframe actually created (records REAL observations for
+            # features born between readbacks)
+            sel = (kp2pt < 0) & (prov >= 0)
+            kp2pt[sel] = self._prov_kf_pid[prov[sel]]
         kp2pt[~ok] = -1
         vis_ids = pid[in_frustum & (pid >= 0)]
         np.add.at(self.store.pt_visible, vis_ids, 1)
@@ -957,12 +1249,16 @@ class StereoTracker:
         self.velocity = (T_np @ np.linalg.inv(self.T_cw)).astype(np.float32)
         self.T_cw = T_np.astype(np.float32)
 
-        new_kf = self._need_new_kf(n_in, int(tracked_close),
-                                   int(untracked_close), fid=rec["fid"])
+        # the KF decision was taken ON DEVICE at frame rate (_kf_decision);
+        # the host only reacts — no stale-decision over-firing however deep
+        # the finalize lag
+        new_kf = bool(decide) and not self.localization_only
         if new_kf:
             t_kf0 = _time.perf_counter()
             self._create_kf(rec["fd"], kp2pt, rec["ts"], fid=rec["fid"],
-                            pipelined=True)
+                            pipelined=True, snap_fut=rec.get("snap_fut"),
+                            lines_snap_fut=rec.get("lines_snap_fut"),
+                            n_in_kf=int(n_in))
             m.t_kf = _time.perf_counter() - t_kf0
             m.new_kf = True
         self._last_kp2pt = kp2pt
@@ -1024,6 +1320,10 @@ class StereoTracker:
             self.mapper.on_kf_culled = self.loop_closer.db.erase
         if self.loop_closer is not None:
             self.loop_closer.process_keyframe(kf)
+        # register KF 0's device features in the cache NOW — leaving it to
+        # the first neighbor-window backfill cost a ~250 ms host re-upload
+        # (twice, via the stale ring-entry eviction fixed in KfCache.put)
+        self.mapper.cache_frame(kf, fd.feats)
         self.state = TrackState.OK
         self._has_velocity = False
         kp2pt = np.full(self.store.n_kp, -1, np.int32)
@@ -1038,7 +1338,8 @@ class StereoTracker:
         m.n_inliers = len(ids)
 
     def _remember_frame(self, fd: FrameData, kp2pt: np.ndarray,
-                        dev_ptpos=None, dev_haspt=None, refresh: bool = False):
+                        dev_ptpos=None, dev_haspt=None, dev_ismap=None,
+                        dev_prov=None, refresh: bool = False):
         """Stash the frame state the next frame's motion model needs. Between
         keyframes the per-keypoint positions computed on device are reused
         as-is; at keyframe rate (map changed: new points, BA moved things)
@@ -1048,12 +1349,18 @@ class StereoTracker:
         if dev_ptpos is not None and not refresh:
             self._last_ptpos = dev_ptpos
             self._last_haspt = dev_haspt
+            self._last_ismap = (dev_ismap if dev_ismap is not None
+                                else dev_haspt)
+            self._last_prov = (dev_prov if dev_prov is not None
+                               else jnp.full(self.store.n_kp, -1, jnp.int32))
         else:
             haspt = kp2pt >= 0
             pos = np.zeros((self.store.n_kp, 3), np.float32)
             pos[haspt] = self.store.pt_pos[kp2pt[haspt]]
             self._last_ptpos = jnp.asarray(pos)
             self._last_haspt = jnp.asarray(haspt)
+            self._last_ismap = self._last_haspt
+            self._last_prov = jnp.full(self.store.n_kp, -1, jnp.int32)
 
     def _log_frame(self, timestamp: float, lost: bool = False):
         T_rw = self.store.kf_pose[self.ref_kf]
@@ -1110,13 +1417,30 @@ class StereoTracker:
                              np.tile(np.array([1, 0, 0], np.float32),
                                      (pad, 1))])
         de = np.concatenate([s.ln_desc[ids], np.zeros((pad, D), np.float32)])
-        buf = jax.device_put(np.concatenate([
+        buf_np = np.concatenate([
             bc(x0), bc(dr), bc(de),
             np.concatenate([s.ln_oct[ids],
                             np.zeros(pad, np.int32)]).astype(np.int32),
             np.concatenate([np.ones(P, np.int32), np.zeros(pad, np.int32)]),
-        ]))
-        self._line_view = _unpack_line_view(buf, cap, D)
+        ])
+        self._line_D = D
+        if self._tr_io is not None:
+            # the ~40 ms flat relay upload rides the IO thread; the view is
+            # resolved lazily at the next dispatch (_get_line_view)
+            self._line_view_fut = self._tr_io.submit(jax.device_put, buf_np)
+        else:
+            self._line_view_fut = None
+            self._line_view = _unpack_line_view(
+                jax.device_put(buf_np), cap, D)
+
+    def _get_line_view(self):
+        """Resolve the (possibly in-flight) device map-line view."""
+        if self._line_view_fut is not None:
+            buf = self._line_view_fut.result()
+            self._line_view_fut = None
+            self._line_view = _unpack_line_view(buf, self.line_view_cap,
+                                                self._line_D)
+        return self._line_view
 
     def _refresh_local_view(self):
         """Rebuild the padded MapPointView over the local map
@@ -1172,9 +1496,10 @@ class StereoTracker:
     def _run_step(self, fd: FrameData, T_pred: np.ndarray):
         return _track_step(
             self.cam, jnp.asarray(T_pred), self._last_feats, self._last_ptpos,
-            self._last_haspt, fd.feats, fd.depth, self._view,
-            self._inv_sigma2_lut, self.orb.n_levels, self.orb.scale,
-            self.cfg.tracking.min_motion_matches, float(self.cfg.close_depth))
+            self._last_haspt, self._last_ismap, self._last_prov, fd.feats,
+            fd.depth, self._view, self._inv_sigma2_lut, self.orb.n_levels,
+            self.orb.scale, self.cfg.tracking.min_motion_matches,
+            float(self.cfg.close_depth))
 
     def _attempt_reloc(self, fd: FrameData):
         """Relocalization (Tracking::Relocalization, Tracking.cc:1837-1998):
@@ -1288,11 +1613,12 @@ class StereoTracker:
         (Tracking.cc:482-488 -> Tracking::Reset, Tracking.cc:2000-2046):
         clear the map, database and trajectory bookkeeping, reinitialize."""
         self.store = MapStore(self.cam, self.orb)
+        self.mapper.close()
         self.kf_cache.clear()
         self.mapper = local_mapping.LocalMapper(
             self.store, self.cfg, cache=self.kf_cache,
             **self._mapper_kwargs)
-        self._pending_loop = None
+        self._pending_loops.clear()
         if self.loop_closer is not None:
             from ..loop.closing import LoopCloser
             self.loop_closer = LoopCloser(self.store, self.vocabulary,
@@ -1306,6 +1632,7 @@ class StereoTracker:
         self.logs.clear()
         self._view = None
         self._view_pid = None
+        self._prov_kf_pid = None
         # NOTE: self._pending is kept — the in-flight pipelined frame must
         # still be finalized (it reinitializes the fresh map via the
         # _finalize_rec resync path); dropping it here lost its metrics
@@ -1315,17 +1642,29 @@ class StereoTracker:
         if self.enable_lines:
             self._refresh_line_view()
 
-    def _unpack(self, packed: np.ndarray, view_cap: int | None = None):
+    def _unpack(self, packed: np.ndarray, view_cap: int | None = None,
+                has_decide: bool = False):
+        """`has_decide`: pipelined rows carry the on-device KF-decision flag
+        at index 22 (appended last in the return tuple)."""
         n = self.store.n_kp
         p = view_cap if view_cap is not None else len(self._view_pid)
         T_np = packed[:16].view(np.float32).reshape(4, 4)
         scal = packed[16:22]
         o = 22
+        decide = 0
+        if has_decide:
+            decide = int(packed[22])
+            o = 23
         kp2last = packed[o:o + n]; o += n
         kp2pt_l = packed[o:o + n]; o += n
-        ok = packed[o:o + n].astype(bool); o += n
-        in_frustum = packed[o:o + p].astype(bool)
-        return (T_np, *[int(x) for x in scal], kp2last, kp2pt_l, ok, in_frustum)
+        nw = -(-n // 32)
+        pw = -(-p // 32)
+        ok = _unpack_bits_np(packed[o:o + nw], n); o += nw
+        in_frustum = _unpack_bits_np(packed[o:o + pw], p); o += pw
+        prov = packed[o:o + n]
+        out = (T_np, *[int(x) for x in scal], kp2last, kp2pt_l, ok,
+               in_frustum, prov)
+        return out + (decide,) if has_decide else out
 
     def _track(self, fd: FrameData, timestamp: float, m: TrackMetrics,
                fid: int | None = None):
@@ -1353,20 +1692,23 @@ class StereoTracker:
         out = self._run_step(fd, T_pred)
         m.t_dispatch = _time.perf_counter() - t_d0
         # next-frame device state (stays on device, no transfer)
-        dev_ptpos, dev_haspt = out[1], out[2]
+        dev_ptpos, dev_haspt, dev_ismap = out[1], out[2], out[3]
+        dev_prov, dev_final = out[4][0], out[5]
         t_g0 = _time.perf_counter()
         packed = jax.device_get(out[0])
         m.t_get = _time.perf_counter() - t_g0
         return self._track_finalize(fd, packed, dev_ptpos, dev_haspt,
-                                    timestamp, m, fid)
+                                    timestamp, m, fid, dev_ismap=dev_ismap,
+                                    dev_prov=dev_prov, dev_final=dev_final)
 
     def _track_finalize(self, fd: FrameData, packed, dev_ptpos, dev_haspt,
-                        timestamp: float, m: TrackMetrics, fid: int):
+                        timestamp: float, m: TrackMetrics, fid: int,
+                        dev_ismap=None, dev_prov=None, dev_final=None):
         """Host half of the synchronous track step, from the packed device
         readback on (also the per-sequence finalize of the batched
         multi-sequence driver, parallel/multi_seq.py)."""
         (T_np, n_mm, n_in, tracked_close, untracked_close, n_kp, n_st,
-         kp2last, kp2pt_l, ok, in_frustum) = self._unpack(packed)
+         kp2last, kp2pt_l, ok, in_frustum, prov) = self._unpack(packed)
         m.n_motion_matches = int(n_mm)
         m.n_kp = int(n_kp)
         m.n_stereo = int(n_st)
@@ -1380,17 +1722,22 @@ class StereoTracker:
             T_fb = self._ref_anchor_pose(fd)
             if T_fb is not None:
                 out = self._run_step(fd, T_fb)
-                dev_ptpos, dev_haspt = out[1], out[2]
                 packed = jax.device_get(out[0])
                 (T_np2, n_mm2, n_in2, tracked_close2, untracked_close2,
-                 n_kp, n_st, kp2last2, kp2pt_l2, ok2, in_frustum2) = \
-                    self._unpack(packed)
+                 n_kp, n_st, kp2last2, kp2pt_l2, ok2, in_frustum2,
+                 prov2) = self._unpack(packed)
                 if n_in2 > n_in:  # keep the better of the two associations
+                    # adopt device state TOGETHER with the host association:
+                    # a rejected fallback must leave both untouched, or the
+                    # next frame pairs point ids from one run with positions
+                    # from the other
+                    dev_ptpos, dev_haspt, dev_ismap = out[1], out[2], out[3]
+                    dev_prov, dev_final = out[4][0], out[5]
                     (T_np, n_mm, n_in, tracked_close, untracked_close,
-                     kp2last, kp2pt_l, ok, in_frustum) = (
+                     kp2last, kp2pt_l, ok, in_frustum, prov) = (
                         T_np2, n_mm2, n_in2, tracked_close2,
                         untracked_close2, kp2last2, kp2pt_l2, ok2,
-                        in_frustum2)
+                        in_frustum2, prov2)
         m.n_inliers = n_in
 
         # global point id per keypoint: local-map association wins, else the
@@ -1400,6 +1747,9 @@ class StereoTracker:
             kp2pt_l >= 0, pid[np.maximum(kp2pt_l, 0)],
             np.where(kp2last >= 0, self._last_kp2pt[np.maximum(kp2last, 0)], -1),
         ).astype(np.int32)
+        if self._prov_kf_pid is not None:
+            sel = (kp2pt < 0) & (prov >= 0)
+            kp2pt[sel] = self._prov_kf_pid[prov[sel]]
         kp2pt[~ok] = -1
 
         # visibility stats (SearchLocalPoints IncreaseVisible,
@@ -1423,8 +1773,9 @@ class StereoTracker:
 
         # --- line association + joint point/line pose refinement ---
         self._cur_det2ln = None
-        if self.enable_lines and self._line_view is not None \
-                and self._cur_fl is not None:
+        if self.enable_lines and self._cur_fl is not None \
+                and (self._line_view is not None
+                     or self._line_view_fut is not None):
             fl = self._cur_fl
             cur = fd.feats
             pobs = pose_opt.PointPoseObs(
@@ -1432,10 +1783,13 @@ class StereoTracker:
                 obs=jnp.concatenate([cur.xy, cur.ur[:, None]], axis=-1),
                 inv_sigma2=self._inv_sigma2_lut[cur.octave],
                 is_stereo=cur.ur >= 0,
-                valid=dev_haspt,
+                # association inliers only: freshly depth-seeded temporal
+                # rows have zero residual at T2 by construction and would
+                # anchor the joint point+line refinement at T2
+                valid=dev_final if dev_final is not None else dev_haspt,
             )
             T3, det2ln, n_line = _line_step(
-                self.cam, jnp.asarray(T_np), *self._line_view, fl, pobs,
+                self.cam, jnp.asarray(T_np), *self._get_line_view(), fl, pobs,
                 float(self.cfg.line.gamma), float(self._md_gate))
             T_np = np.asarray(T3)
             det2ln = np.asarray(det2ln)
@@ -1463,6 +1817,7 @@ class StereoTracker:
             m.t_kf = _time.perf_counter() - t0
             m.new_kf = True
         self._remember_frame(fd, kp2pt, dev_ptpos, dev_haspt,
+                             dev_ismap=dev_ismap, dev_prov=dev_prov,
                              refresh=new_kf)
         self._log_frame(timestamp)
 
@@ -1479,9 +1834,11 @@ class StereoTracker:
             return False
         # the reference blocks insertion while LocalMapping is busy with the
         # previous KF (Tracking.cc:1223-1310 c1b + InterruptBA); the
-        # deterministic analogue is a minimum inter-KF gap
+        # deterministic analogue is a minimum inter-KF gap of 3 — the depth
+        # of the staged mapper pipeline (same constant as the pipelined
+        # on-device decision, keeping both schedules identical)
         if fid - self.last_kf_frame < max(
-                self.cfg.tracking.min_frames_between_kf, 2):
+                self.cfg.tracking.min_frames_between_kf, 3):
             return False
         ref_matches = self._ref_matches
         need_close = tracked_close < 100 and untracked_close > 70
@@ -1491,15 +1848,31 @@ class StereoTracker:
         return weak or need_close or too_old
 
     def _create_kf(self, fd: FrameData, kp2pt: np.ndarray, timestamp: float,
-                   fid: int | None = None, pipelined: bool = False) -> bool:
+                   fid: int | None = None, pipelined: bool = False,
+                   snap_fut=None, lines_snap_fut=None,
+                   n_in_kf: int | None = None) -> bool:
         """CreateNewKeyFrame (Tracking.cc:1367-1444): insert KF, create
         close-depth points (all < ThDepth, or 100 nearest), then run the
         deterministic local-mapping step. Returns True when a loop closure
-        corrected the map (the pipelined caller must resync its pose chain)."""
+        corrected the map (the pipelined caller must resync its pose chain).
+        `snap_fut`/`lines_snap_fut` optionally carry the frame snapshots
+        prefetched on the IO thread (_prefetch_kf_snaps)."""
+        import time as _time
         if fid is None:
             fid = self.frame_id
+        tt = {}
+        t_prev = _time.perf_counter()
+
+        def mark(key):
+            nonlocal t_prev
+            now = _time.perf_counter()
+            tt[key] = now - t_prev
+            t_prev = now
+
         s = self.store
-        feats, depth = self._snapshot_np(fd)
+        feats, depth = (snap_fut.result() if snap_fut is not None
+                        else self._snapshot_np(fd))
+        mark("snap")
         kf = s.add_keyframe(self.T_cw, feats, depth, kp2pt,
                             fid, timestamp)
         # candidates: valid stereo depth, no existing association
@@ -1519,33 +1892,62 @@ class StereoTracker:
             Xw = (T_wc[:3, :3] @ Xc.T).T + T_wc[:3, 3]
             ids = s.create_points(kf, sel, Xw.astype(np.float32))
             kp2pt[sel] = ids
+        # feature -> point-id table of this (now latest) keyframe: resolves
+        # the on-device provisional identities of in-flight frames
+        self._prov_kf_pid = kp2pt.copy()
+        mark("pts")
         if self.enable_lines and self._cur_fl is not None:
-            self._create_kf_lines(kf)
+            self._create_kf_lines(kf, lines_snap_fut=lines_snap_fut)
+        mark("lines")
         s.set_parent_from_covisibility(kf)
         self.ref_kf = kf
         self.last_kf_frame = fid
         # register the frame's device feature arrays in the KF cache (zero
         # channel traffic: device->device copy)
         self.mapper.cache_frame(kf, fd.feats)
-        import time as _time
+        mark("cache")
         t0 = _time.perf_counter()
         if pipelined:
             # staged: dispatch triangulation+fusion and the BoW descent now,
             # absorb one stage per subsequent finalized frame
             # (_step_kf_pipeline) — the deterministic analogue of the
             # reference's LocalMapping/LoopClosing thread overlap
-            words_dev = None
+            voc = (self.loop_closer.voc if self.loop_closer is not None
+                   else None)
+            mark("bow")
+            # dispatching this KF force-absorbs a still-pending previous KF
+            # stage (back-to-back keyframes) — its staged BoW words surface
+            # via absorbed_words below, BEFORE the previous pending loop
+            # step is absorbed, so the words ride the staged path instead
+            # of falling back to the host descent
+            self.mapper.dispatch_kf_stage(kf, voc=voc)
+            self._adopt_view()
+            self._match_loop_words()
             if self.loop_closer is not None:
-                words_dev = self.loop_closer.dispatch_bow(
-                    fd.feats.desc, fd.feats.valid)
-                # words filled in by absorb_kf_stage's flat readback
-                self._pending_loop = (kf, None)
-            self.mapper.dispatch_kf_stage(kf, words_dev=words_dev)
+                # queue this KF's loop step; it absorbs once its staged
+                # words land (every KF reaches the BoW database — absorbing
+                # EARLY with words=None would fall back to the ~100 ms host
+                # descent)
+                self._pending_loops.append([kf, None])
+            mark("dispatch")
             self._refresh_ref_matches()
+            if self._tr_io is not None:
+                # ship the fresh reference match count + measured
+                # kappa = ref_matches/n_in to the on-device decision chain
+                # (adopted at a subsequent dispatch; the gap gate covers the
+                # swap latency)
+                if n_in_kf:
+                    self._kappa = float(np.clip(
+                        self._ref_matches / max(n_in_kf, 1), 0.2, 1.2))
+                self._refm_fut = self._tr_io.submit(
+                    jax.device_put,
+                    np.float32([self._ref_matches, self._kappa]))
             if self.enable_lines:
                 self._refresh_line_view()
-            self.kf_timings.append(
-                dict(mapper=_time.perf_counter() - t0, loop=0.0, view=0.0))
+            mark("refresh")
+            tt["mapper"] = tt.pop("dispatch")
+            tt["loop"] = tt["view"] = 0.0
+            self.kf_timings.append(tt)
             return False
         # deterministic local-mapping step (replaces the LocalMapping thread)
         view_out = self.mapper.process_keyframe(kf)
@@ -1570,16 +1972,29 @@ class StereoTracker:
             dict(mapper=t1 - t0, loop=t2 - t1, view=t3 - t2))
         return corrected
 
-    def _create_kf_lines(self, kf: int):
+    def _create_kf_lines(self, kf: int, lines_snap_fut=None):
         """Line half of keyframe creation: snapshot the frame's detections,
         attach observations of associated map lines, create new map lines
         from unassociated stereo-triangulated detections (the MatchLinesLastKF
         -> new MapLine path, Tracking.cc:1449-1611 intent), and cull."""
+        import time as _time
+        lt = getattr(self, "line_kf_times", None)
+        if lt is None:
+            lt = self.line_kf_times = {}
+
+        def lmark(key, t0=[None]):
+            now = _time.perf_counter()
+            if key is not None and t0[0] is not None:
+                lt[key] = lt.get(key, 0.0) + (now - t0[0])
+            t0[0] = now
+
+        lmark(None)
         s = self.store
         fl = self._cur_fl
-        snap = _unpack_frame_lines_np(
-            np.asarray(_pack_frame_lines(fl)), s.n_ln_det,
-            s.ln_desc.shape[1])
+        buf = (lines_snap_fut.result() if lines_snap_fut is not None
+               else np.asarray(_pack_frame_lines(fl)))
+        snap = _unpack_frame_lines_np(buf, s.n_ln_det, s.ln_desc.shape[1])
+        lmark("snap")
         lines_np = {k: snap[k] for k in
                     ("p1", "p2", "p1r", "p2r", "has_r", "octave", "desc",
                      "valid")}
@@ -1604,11 +2019,16 @@ class StereoTracker:
             X0w = Pw - np.sum(Pw * dw, axis=-1, keepdims=True) * dw
             s.create_lines(kf, newsel, X0w.astype(np.float32),
                            dw.astype(np.float32))
+        lmark("create")
         s.retriangulate_lines()
+        lmark("retri")
         s.cull_lines()
+        lmark("cull")
         # keep line descriptors distinctive as viewpoints accumulate
         # (MapLine.cc:133-201)
         s.update_line_descriptors()
+        lmark("desc")
+        lt["n"] = lt.get("n", 0) + 1
 
     # ------------------------------------------------------------------
 

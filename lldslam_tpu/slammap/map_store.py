@@ -303,10 +303,17 @@ class MapStore:
         re-triangulated from ALL its observation planes (left + right camera
         per stereo observation). The temporal baseline across keyframes
         conditions the direction far better than the single stereo pair that
-        seeded the line."""
+        seeded the line.
+
+        STAGED: the device solve dispatched at keyframe k is absorbed at
+        keyframe k+1 — by then its buffer is long-computed and the fetch
+        pays ~35 ms instead of the ~140 ms fresh-readback latency (plus the
+        pad is FIXED at max_lines so the program compiles exactly once; a
+        varying pad hit a fresh ~13 s remote compile mid-sequence)."""
         import jax.numpy as jnp
         from ..geometry import lines as gl
 
+        self.absorb_retriangulate()
         K = self.n_kf
         kf_idx, det_idx = np.nonzero(self.kf_ln_ids[:K] >= 0)
         if len(kf_idx) == 0:
@@ -343,38 +350,62 @@ class MapStore:
         has_r = self.kf_ln_has_r[kf_idx, det_idx]
 
         # group observations per candidate line, padded to max_obs planes
-        cap = ((len(cand) + 63) // 64) * 64
+        # (vectorized: stable-sort rows by line slot, cumcount within the
+        # group picks the plane column — the per-observation python loop
+        # here cost ~20 ms/KF)
+        cap = max_lines
+        pos = np.full(self.max_ln, -1, np.int32)
+        pos[cand] = np.arange(len(cand), dtype=np.int32)
+        pi = pos[lids]
+        selL = pi >= 0
+        selR = selL & has_r
+        rows_pi = np.concatenate([pi[selL], pi[selR]])
+        rows_n = np.concatenate([nL[selL], nR[selR]]).astype(np.float32)
+        rows_c = np.concatenate([cL[selL], cR[selR]]).astype(np.float32)
+        order = np.argsort(rows_pi, kind="stable")
+        rows_pi = rows_pi[order]
+        rows_n, rows_c = rows_n[order], rows_c[order]
+        first = np.searchsorted(rows_pi, rows_pi, side="left")
+        col = np.arange(len(rows_pi)) - first
+        keep = col < max_obs
         normals = np.zeros((cap, max_obs, 3), np.float32)
         centers = np.zeros((cap, max_obs, 3), np.float32)
         mask = np.zeros((cap, max_obs), bool)
-        pos_of = {int(l): i for i, l in enumerate(cand)}
-        fill = np.zeros(cap, np.int32)
-        for o in range(len(kf_idx)):
-            i = pos_of.get(int(lids[o]))
-            if i is None:
-                continue
-            if fill[i] < max_obs:
-                normals[i, fill[i]] = nL[o]
-                centers[i, fill[i]] = cL[o]
-                mask[i, fill[i]] = True
-                fill[i] += 1
-            if has_r[o] and fill[i] < max_obs:
-                normals[i, fill[i]] = nR[o]
-                centers[i, fill[i]] = cR[o]
-                mask[i, fill[i]] = True
-                fill[i] += 1
-        X0, d, ok = gl.triangulate_multi_view(
-            jnp.asarray(normals), jnp.asarray(centers), jnp.asarray(mask))
-        X0 = np.array(X0)
-        d = np.array(d)
-        ok = np.asarray(ok)
+        normals[rows_pi[keep], col[keep]] = rows_n[keep]
+        centers[rows_pi[keep], col[keep]] = rows_c[keep]
+        mask[rows_pi[keep], col[keep]] = True
+        # ONE packed upload (three separate device_puts paid ~3 relay RPCs)
+        packed = np.concatenate([
+            normals.reshape(-1).view(np.int32),
+            centers.reshape(-1).view(np.int32),
+            mask.astype(np.int32).reshape(-1)])
+        buf = gl.triangulate_multi_view_from_packed(
+            jnp.asarray(packed), cap, max_obs)
+        self._pending_retri = (cand, buf)
+
+    def absorb_retriangulate(self):
+        """Write back the previous keyframe's staged multi-view solve."""
+        pend = getattr(self, "_pending_retri", None)
+        if pend is None:
+            return
+        self._pending_retri = None
+        cand, dev = pend
+        buf = np.asarray(dev)
+        cap = (len(buf) // 7)
+        X0 = buf[: 3 * cap].view(np.float32).reshape(cap, 3)
+        d = buf[3 * cap: 6 * cap].view(np.float32).reshape(cap, 3)
+        ok = buf[6 * cap:].astype(bool)
         n = len(cand)
-        good = ok[:n] & np.isfinite(X0[:n]).all(-1) & np.isfinite(d[:n]).all(-1)
+        # lines culled since dispatch keep their (stale) state invalid
+        alive = self.ln_valid[cand]
+        good = (ok[:n] & np.isfinite(X0[:n]).all(-1)
+                & np.isfinite(d[:n]).all(-1) & alive)
+        dn = d[:n].copy()
         # keep direction continuity (sign is arbitrary out of the SVD)
-        flip = np.sum(d[:n] * self.ln_dir[cand], -1) < 0
-        d[:n][flip] *= -1
+        flip = np.sum(dn * self.ln_dir[cand], -1) < 0
+        dn[flip] *= -1
         self.ln_x0[cand[good]] = X0[:n][good]
-        self.ln_dir[cand[good]] = d[:n][good]
+        self.ln_dir[cand[good]] = dn[good]
 
     def create_points(self, kf_id: int, feat_idx: np.ndarray, positions: np.ndarray) -> np.ndarray:
         """Allocate new map points observed by (kf_id, feat_idx). Returns ids."""
@@ -404,6 +435,8 @@ class MapStore:
         self._obs_dirty = True
 
     def _rebuild_obs_index(self):
+        import time as _time
+        _t0 = _time.perf_counter()
         K = self.n_kf
         ids = self.kf_pt_ids[:K]
         kfi, fei = np.nonzero(ids >= 0)
@@ -412,13 +445,22 @@ class MapStore:
         self._obs_pt = p[order]
         self._obs_kf = kfi[order].astype(np.int32)
         self._obs_fe = fei[order].astype(np.int32)
+        # CSR offsets over LIVE ids only: a searchsorted over the full
+        # max_pt capacity (1M after growth) cost ~30 ms per rebuild, at
+        # keyframe rate — point ids are assigned sequentially so n_pt+1
+        # offsets index every query _obs_rows_for can receive
+        self._obs_hi = self.n_pt
         self._obs_start = np.searchsorted(
-            self._obs_pt, np.arange(self.max_pt + 1)).astype(np.int64)
+            self._obs_pt, np.arange(self._obs_hi + 1)).astype(np.int64)
         self._obs_dirty = False
+        self.obs_rebuild_s = getattr(self, "obs_rebuild_s", 0.0) \
+            + (_time.perf_counter() - _t0)
+        self.obs_rebuild_n = getattr(self, "obs_rebuild_n", 0) + 1
 
     def _obs_rows_for(self, pt_ids: np.ndarray) -> np.ndarray:
         """CSR row indices of all observations of the given point ids."""
-        if self._obs_dirty:
+        if self._obs_dirty or (len(pt_ids)
+                               and int(pt_ids.max()) >= self._obs_hi):
             self._rebuild_obs_index()
         starts = self._obs_start[pt_ids]
         cnt = self._obs_start[pt_ids + 1] - starts
@@ -567,6 +609,17 @@ class MapStore:
         """Keyframes sharing >= min_shared map points with kf_id, sorted by
         count descending (KeyFrame::UpdateConnections semantics w/ th=15,
         KeyFrame.cc:353)."""
+        import time as _time
+        _t0 = _time.perf_counter()
+        try:
+            return self._covisible_kfs(kf_id, min_shared, top)
+        finally:
+            self.covis_s = getattr(self, "covis_s", 0.0) \
+                + (_time.perf_counter() - _t0)
+            self.covis_n = getattr(self, "covis_n", 0) + 1
+
+    def _covisible_kfs(self, kf_id: int, min_shared: int = 15,
+                       top: int | None = None):
         K = self.n_kf
         mine = self.kf_pt_ids[kf_id]
         mine_set = np.unique(mine[mine >= 0])

@@ -72,7 +72,8 @@ class System:
         at startup on a tunneled TPU. Vocabulary-independent."""
         from .loop.closing import warmup_loop_programs
         warmup_loop_programs(self.tracker.cam)
-        self.tracker.mapper.warmup()
+        lc = self.tracker.loop_closer
+        self.tracker.mapper.warmup(voc=None if lc is None else lc.voc)
 
     # -- frame input (System::TrackStereo/TrackRGBD, System.cc:121-194) --
     def track_stereo(self, img_l: np.ndarray, img_r: np.ndarray,

@@ -48,21 +48,26 @@ def test_batched_step_matches_individual():
             T=jnp.eye(4), last=_feats(rng),
             ptpos=jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32) + [0, 0, 15]),
             haspt=jnp.asarray(rng.uniform(size=N) < 0.5),
+            ismap=jnp.asarray(rng.uniform(size=N) < 0.4),
+            prov=jnp.asarray(
+                np.where(rng.uniform(size=N) < 0.2,
+                         rng.integers(0, N, N), -1).astype(np.int32)),
             cur=_feats(rng),
             depth=jnp.asarray(rng.uniform(1, 30, N).astype(np.float32)),
             view=_view(rng)))
 
     singles = [
-        _track_step(CAM, a["T"], a["last"], a["ptpos"], a["haspt"], a["cur"],
-                    a["depth"], a["view"], jnp.ones(8), 8, 1.2, 7, 20.0)
+        _track_step(CAM, a["T"], a["last"], a["ptpos"], a["haspt"],
+                    a["ismap"], a["prov"], a["cur"], a["depth"], a["view"],
+                    jnp.ones(8), 8, 1.2, 7, 20.0)
         for a in args_per_seq
     ]
     stack = lambda key: jax.tree.map(lambda *xs: jnp.stack(xs),
                                      *[a[key] for a in args_per_seq])
     batched = multi_seq.batched_track_step(
         CAM, stack("T"), stack("last"), stack("ptpos"), stack("haspt"),
-        stack("cur"), stack("depth"), stack("view"), jnp.ones(8),
-        8, 1.2, 7, 20.0)
+        stack("ismap"), stack("prov"), stack("cur"), stack("depth"),
+        stack("view"), jnp.ones(8), 8, 1.2, 7, 20.0)
     for s in range(S):
         np.testing.assert_array_equal(np.asarray(batched[0][s]),
                                       np.asarray(singles[s][0]))

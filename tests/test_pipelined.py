@@ -44,12 +44,17 @@ def test_pipelined_matches_sync():
     assert len(ts_p) == len(ts_s) == len(frames)
     assert pipe.tracker.state.name == "OK"
     # identical camera path up to the pipelined map-update schedule (lag-N
-    # finalize + staged mapper: triangulation/fusion and BA land 1-2 frames
-    # after the keyframe — the deterministic analogue of the reference's
-    # LocalMapping thread lag): positions agree to a couple of decimeters
-    # on a ~17 m path
+    # finalize + staged mapper: triangulation/fusion and BA land a window
+    # behind the keyframe — the deterministic analogue of the reference's
+    # LocalMapping thread lag). With the default W=8 readback window the
+    # map updates land up to ~8 frames late, so positions agree to ~0.35 m
+    # on a ~17 m path (the KEYFRAME SCHEDULE itself is identical: the
+    # on-device decision reproduces NeedNewKeyFrame at frame rate)
+    kfs_s = [m.frame_id for m in sync.tracker.metrics if m.new_kf]
+    kfs_p = [m.frame_id for m in pipe.tracker.metrics if m.new_kf]
+    assert kfs_p == kfs_s, (kfs_p, kfs_s)
     dp = np.linalg.norm(T_p[:, :3, 3] - T_s[:, :3, 3], axis=-1)
-    assert dp.max() < 0.25, dp.max()
+    assert dp.max() < 0.35, dp.max()
     # every frame got finalized exactly once, in order
     fids = [m.frame_id for m in pipe.tracker.metrics]
     assert fids == sorted(fids)
