@@ -615,6 +615,8 @@ class StereoTracker:
             from concurrent.futures import ThreadPoolExecutor
             self._tr_io = ThreadPoolExecutor(
                 max_workers=2, thread_name_prefix="tracker_io")
+            # staged line retriangulation readbacks ride the same pool
+            self.store.retri_io = self._tr_io
         self._mono = False
         self._init_ref = None
         # staged loop-closing queue: [kf_id, words|None] entries awaiting
@@ -1160,6 +1162,15 @@ class StereoTracker:
             self._resync = True
         return corrected
 
+    @staticmethod
+    def _rec_fd(rec):
+        """rec["fd"] may be a thunk (batched multi-sequence driver: device
+        slices are only materialized on keyframe / resync paths)."""
+        fd = rec["fd"]
+        if callable(fd):
+            fd = rec["fd"] = fd()
+        return fd
+
     def _finalize_rec(self, rec: dict, packed_np: "np.ndarray | None" = None):
         import time as _time
         m: TrackMetrics = rec["m"]
@@ -1178,9 +1189,10 @@ class StereoTracker:
             if self.state == TrackState.NOT_INITIALIZED:
                 # a full reset happened while this frame was in flight
                 # (Tracking.cc:482-488): it becomes the reinit candidate
-                self._initialize(rec["fd"], rec["ts"], m, fid=rec["fid"])
+                self._initialize(self._rec_fd(rec), rec["ts"], m,
+                                 fid=rec["fid"])
             else:
-                self._track(rec["fd"], rec["ts"], m, fid=rec["fid"])
+                self._track(self._rec_fd(rec), rec["ts"], m, fid=rec["fid"])
             m.t_step = _time.perf_counter() - t0 - m.t_kf
             self._finish_metrics(m)
             return self.T_cw.copy(), m
@@ -1211,10 +1223,12 @@ class StereoTracker:
             # handling live there) and poison the chain for the in-flight
             # frame
             self._resync = True
+            prev = rec["prev"]
             (self._last_feats, self._last_ptpos, self._last_haspt,
-             self._last_ismap, self._last_prov) = rec["prev"]
+             self._last_ismap, self._last_prov) = (
+                prev() if callable(prev) else prev)
             self._cur_fl = rec.get("fl")
-            self._track(rec["fd"], rec["ts"], m, fid=rec["fid"])
+            self._track(self._rec_fd(rec), rec["ts"], m, fid=rec["fid"])
             m.t_step = _time.perf_counter() - t0 - m.t_kf
             self._finish_metrics(m)
             return self.T_cw.copy(), m
@@ -1255,7 +1269,8 @@ class StereoTracker:
         new_kf = bool(decide) and not self.localization_only
         if new_kf:
             t_kf0 = _time.perf_counter()
-            self._create_kf(rec["fd"], kp2pt, rec["ts"], fid=rec["fid"],
+            self._create_kf(self._rec_fd(rec), kp2pt, rec["ts"],
+                            fid=rec["fid"],
                             pipelined=True, snap_fut=rec.get("snap_fut"),
                             lines_snap_fut=rec.get("lines_snap_fut"),
                             n_in_kf=int(n_in))
@@ -2006,8 +2021,12 @@ class StereoTracker:
         # triangulation scales with 1/length; multi-view refinement below
         # sharpens them once a second KF observes them)
         lengths = np.linalg.norm(lines_np["p2"] - lines_np["p1"], axis=-1)
+        # >= 28 px seeding gate: single-pair direction noise scales with
+        # 1/length, but the multi-view retriangulation sharpens survivors —
+        # the round-3 40 px gate starved the map (median 2-4 matches/frame
+        # vs the reference's line-rich benchmark configs)
         newsel = np.nonzero(lines_np["valid"] & lines_np["has_r"]
-                            & (det2ln < 0) & (lengths >= 40.0))[0]
+                            & (det2ln < 0) & (lengths >= 28.0))[0]
         newsel = newsel[: s.room_for_lines(len(newsel))]
         if len(newsel):
             X0c = snap["X0"][newsel]

@@ -381,6 +381,12 @@ class MapStore:
             mask.astype(np.int32).reshape(-1)])
         buf = gl.triangulate_multi_view_from_packed(
             jnp.asarray(packed), cap, max_obs)
+        io = getattr(self, "retri_io", None)
+        if io is not None:
+            # start the readback NOW on the IO thread: the absorb at the
+            # next keyframe then finds it done instead of paying the
+            # ~140 ms per-program completion latency inline
+            buf = io.submit(np.asarray, buf)
         self._pending_retri = (cand, buf)
 
     def absorb_retriangulate(self):
@@ -390,7 +396,7 @@ class MapStore:
             return
         self._pending_retri = None
         cand, dev = pend
-        buf = np.asarray(dev)
+        buf = dev.result() if hasattr(dev, "result") else np.asarray(dev)
         cap = (len(buf) // 7)
         X0 = buf[: 3 * cap].view(np.float32).reshape(cap, 3)
         d = buf[3 * cap: 6 * cap].view(np.float32).reshape(cap, 3)

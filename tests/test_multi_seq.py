@@ -114,3 +114,45 @@ def test_multi_sequence_driver_matches_solo():
     # the steady-state frames really were batched (one program, S results)
     batched_frames = [m for m in drv.trackers[0].metrics if m.frame_id >= 1]
     assert len(batched_frames) == n_frames - 1
+
+
+@pytest.mark.slow
+def test_pipelined_driver_matches_solo():
+    """PipelinedMultiSequenceDriver: stacked chain state + one vmapped
+    chained program per frame + a shared (S, W, L) readback ring must stay
+    within pipelining tolerance of individually-tracked pipelined runs."""
+    from bench import _make_sequence
+    from lldslam_tpu.config import CameraConfig, SlamConfig, TrackingConfig
+    from lldslam_tpu.ops.orb import OrbConfig
+    from lldslam_tpu.parallel.multi_seq import PipelinedMultiSequenceDriver
+    from lldslam_tpu.system import System
+
+    cam_cfg = CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=120.0,
+                           bf=200.0, fps=10.0, width=640, height=240)
+    cfg = SlamConfig(camera=cam_cfg, orb=OrbConfig(n_features=512),
+                     tracking=TrackingConfig(min_init_points=60))
+    n_seq, n_frames = 3, 14
+    seqs = [_make_sequence(cam_cfg.stereo_camera(), n_frames,
+                           n_per_m=25.0, seed=10 + s)
+            for s in range(n_seq)]
+
+    solo_T = []
+    for s in range(n_seq):
+        sysm = System(cfg, enable_loops=False, pipeline=True)
+        sysm.tracker.mapper.fixed_tv_cap = 2048
+        for i, (l, r) in enumerate(seqs[s]):
+            sysm.track_stereo(l, r, timestamp=i * 0.1)
+        sysm.flush()
+        _, T = sysm.tracker.trajectory()
+        solo_T.append(T)
+
+    drv = PipelinedMultiSequenceDriver(cfg, n_seq, enable_loops=False)
+    for f in range(n_frames):
+        drv.process([seqs[s][f] for s in range(n_seq)], [f * 0.1] * n_seq)
+    drv.flush()
+    for s in range(n_seq):
+        _, T = drv.trackers[s].trajectory()
+        assert len(T) == n_frames
+        assert drv.trackers[s].state.name == "OK"
+        dp = np.linalg.norm(T[:, :3, 3] - solo_T[s][:, :3, 3], axis=-1)
+        assert dp.max() < 0.35, (s, dp.max())

@@ -49,17 +49,44 @@ def make_corpus(n_frames: int, seed: int = 0):
                        bf=386.1448, width=W, height=H)
     descs, docs = [], []
     t0 = time.time()
-    # half the corpus: rendered corridor worlds, 8 frames per seed
+    # half the corpus: rendered 3D worlds — wide outdoor corridors AND
+    # narrow/slow indoor (EuRoC-like) rooms, 8 frames per seed
     n_rendered = n_frames // 2
     world_frames = []
     s = 0
     while len(world_frames) < n_rendered:
-        world_frames.extend(
-            _make_sequence(cam, 8, seed=1000 + s, with_lines=(s % 2 == 0)))
+        if s % 3 == 2:
+            # indoor: 2.5 m half-width room, low camera, slow motion
+            world_frames.extend(_make_sequence(
+                cam, 8, seed=1000 + s, with_lines=(s % 2 == 0),
+                half_w=2.5, cam_h=1.1, speed=0.3))
+        else:
+            world_frames.extend(_make_sequence(
+                cam, 8, seed=1000 + s, with_lines=(s % 2 == 0)))
         s += 1
+
+    def photometric(im, rng):
+        """Gain/bias jitter + vignette + sensor noise + occluding blobs —
+        the nuisance factors real place-recognition imagery carries."""
+        im = im * rng.uniform(0.6, 1.4) + rng.uniform(-25, 25)
+        if rng.uniform() < 0.5:
+            yy, xx = np.mgrid[0:im.shape[0], 0:im.shape[1]].astype(np.float32)
+            cx, cy = im.shape[1] / 2, im.shape[0] / 2
+            r2 = ((xx - cx) / cx) ** 2 + ((yy - cy) / cy) ** 2
+            im = im * (1.0 - rng.uniform(0.1, 0.4) * r2)
+        for _ in range(rng.integers(0, 4)):
+            h = int(rng.integers(20, 90))
+            w = int(rng.integers(30, 200))
+            y = int(rng.integers(0, im.shape[0] - h))
+            x = int(rng.integers(0, im.shape[1] - w))
+            im[y:y + h, x:x + w] = rng.uniform(5, 250)
+        im = im + rng.normal(0, rng.uniform(1.0, 6.0), im.shape)
+        return im
+
     for f in range(n_frames):
         if f < n_rendered:
             im = world_frames[f][f % 2].astype(np.float32)  # L or R view
+            im = np.clip(photometric(im, rng), 0, 255)
             kp = orb.extract(jnp.asarray(im), cfg)
             valid = np.asarray(kp.valid)
             d = np.asarray(kp.desc)[valid]
