@@ -482,8 +482,20 @@ class LocalMapper:
         import time as _time
         t0 = _time.perf_counter()
         if self._pending_ba is not None:
-            # a new KF arrived before the delayed absorb — flush first so
-            # the previous window's results are not overwritten
+            if not self._pending_ba["result_fut"].done():
+                # the previous window's BA is still in flight: SKIP this
+                # keyframe's BA instead of blocking on it — the
+                # deterministic analogue of the reference's mbAbortBA
+                # interrupt (LocalMapping.cc:InterruptBA / Optimizer.cc:473
+                # pbStopFlag), which aborts local BA whenever a new KF
+                # arrives mid-optimization. Measured round 5: blocking here
+                # cost 35-90 ms/KF of relay wait and was the single largest
+                # throughput drain (12.5 -> 17.8 fps when lifted).
+                self.stage_times["ba_skip_dropped"] = self.stage_times.get(
+                    "ba_skip_dropped", 0) + 1
+                self.cull_keyframes(kf_id)
+                return None
+            # results already landed — absorb before overwriting
             self.absorb_ba()
         t1 = _time.perf_counter()
         self.stage_times["dba_wait"] = self.stage_times.get(

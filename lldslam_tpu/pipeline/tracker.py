@@ -160,6 +160,7 @@ def _track_step_chained(
     close_depth: float,
     min_gap: int,
     max_gap: int,
+    snap: jnp.ndarray | None = None,
 ):
     """Pipelined variant: the motion prediction T_pred = vel @ T_prev and the
     velocity update happen ON DEVICE, so frame i+1 can be dispatched before
@@ -186,7 +187,11 @@ def _track_step_chained(
     prov2 = _prov_update(decide, prov_parts)
     packed = jnp.concatenate([packed[:22], decide[None], packed[22:]])
     vel2 = T2 @ jnp.linalg.inv(T_prev)
-    ring = jax.lax.dynamic_update_slice(ring, packed[None], (slot, 0))
+    # the packed frame snapshot rides the ring row (fetched with the window)
+    # so keyframe creation needs NO separate snapshot RPC — each fetch RPC
+    # through the relay costs ~25-40 ms of serialized channel time
+    row = packed if snap is None else jnp.concatenate([packed, snap])
+    ring = jax.lax.dynamic_update_slice(ring, row[None], (slot, 0))
     return (packed, ptpos2, haspt2, ismap2, prov2, T2, vel2, ring, since2,
             scal2)
 
@@ -378,6 +383,8 @@ def _track_step_chained_lines(
     md_thr: float,
     min_gap: int,
     max_gap: int,
+    snap: jnp.ndarray | None = None,
+    lines_snap: jnp.ndarray | None = None,
 ):
     """Pipelined variant WITH the line pipeline chained in: point tracking,
     then line association + joint point/line pose refinement
@@ -410,7 +417,13 @@ def _track_step_chained_lines(
         det2ln.astype(jnp.int32),
         n_line.astype(jnp.int32)[None],
     ])
-    ring = jax.lax.dynamic_update_slice(ring, packed[None], (slot, 0))
+    # point + line snapshots ride the ring row (see _track_step_chained)
+    row = packed
+    if snap is not None:
+        row = jnp.concatenate([row, snap] + ([lines_snap]
+                                             if lines_snap is not None
+                                             else []))
+    ring = jax.lax.dynamic_update_slice(ring, row[None], (slot, 0))
     return (packed, ptpos2, haspt2, ismap2, prov2, T3, vel2, ring, since2,
             scal2)
 
@@ -535,6 +548,11 @@ class TrackMetrics:
     t_kf: float = 0.0
     t_dispatch: float = 0.0
     t_get: float = 0.0
+    # window-fetch diagnostics (set on the last frame of each readback
+    # window): total submit->complete latency of the ring fetch RPC and
+    # the background time it had before the host blocked on it
+    t_fetch_lat: float = 0.0
+    t_fetch_lead: float = 0.0
 
 
 class StereoTracker:
@@ -587,6 +605,10 @@ class StereoTracker:
         # fetch covers W frames; see _process_pipelined). Host bookkeeping
         # (KF decision, metrics, trajectory) lags up to W-1 frames.
         self.readback_window = max(1, readback_window)
+        # how many window fetches may ride the IO pool before the dispatch
+        # thread blocks on the oldest (1 = block at the next window edge;
+        # 2 = give each fetch a full extra window of background time)
+        self.max_inflight_windows = 1
         self._dev_ring = None
         self._ring_slot = 0
         self._pending: list[dict] = []
@@ -937,10 +959,20 @@ class StereoTracker:
              + -(-len(self._view_pid) // 32))
         if with_lines:
             L += self.store.n_ln_det + 1
-        if self._dev_ring is None or self._dev_ring.shape != (W, L):
+        # each row also carries the frame's packed feature snapshot (and the
+        # packed frame lines): keyframe creation reads them from the window
+        # fetch instead of paying a per-KF snapshot RPC (~25-80 ms each of
+        # serialized relay time, measured round 5)
+        Ls = 15 * n_kp_
+        Lls = 0
+        if with_lines:
+            ld_ = self.store.n_ln_det
+            Lls = (18 + self.store.ln_desc.shape[1]) * ld_
+        Lt = L + Ls + Lls
+        if self._dev_ring is None or self._dev_ring.shape != (W, Lt):
             if self._pending or self._ring_inflight:
                 ret = self.flush()
-            self._dev_ring = jnp.zeros((W, L), jnp.int32)
+            self._dev_ring = jnp.zeros((W, Lt), jnp.int32)
             self._ring_slot = 0
         # min gap 3: the deterministic analogue of the reference's
         # LocalMapping-idle damper (NeedNewKeyFrame c1b, Tracking.cc:1282 —
@@ -948,7 +980,10 @@ class StereoTracker:
         # mapper is busy for ~3 finalized frames after each keyframe
         min_gap = max(self.cfg.tracking.min_frames_between_kf, 3)
         max_gap = self.cfg.tracking.max_frames_between_kf
+        from ..frontend.frame import pack_frame
+        snap_dev = pack_frame(fd)
         if with_lines:
+            lines_snap_dev = _pack_frame_lines(self._cur_fl)
             out = _track_step_chained_lines(
                 self.cam, self._dev_T, self._dev_vel, self._last_feats,
                 self._last_ptpos, self._last_haspt, fd.feats, fd.depth,
@@ -959,7 +994,8 @@ class StereoTracker:
                 self.orb.n_levels, self.orb.scale,
                 self.cfg.tracking.min_motion_matches,
                 float(self.cfg.close_depth), float(self.cfg.line.gamma),
-                float(self._md_gate), min_gap, max_gap)
+                float(self._md_gate), min_gap, max_gap,
+                snap=snap_dev, lines_snap=lines_snap_dev)
         else:
             out = _track_step_chained(
                 self.cam, self._dev_T, self._dev_vel, self._last_feats,
@@ -969,7 +1005,8 @@ class StereoTracker:
                 self._dev_ring, self._ring_slot,
                 self.orb.n_levels, self.orb.scale,
                 self.cfg.tracking.min_motion_matches,
-                float(self.cfg.close_depth), min_gap, max_gap)
+                float(self.cfg.close_depth), min_gap, max_gap,
+                snap=snap_dev)
         # NOTE: no copy_to_host_async here - through the axon relay it is a
         # SYNCHRONOUS full round trip (~70-170 ms measured), not an async
         # enqueue; issuing it per frame serialized the whole pipeline
@@ -978,16 +1015,11 @@ class StereoTracker:
         rec = dict(fd=fd, out=out, ts=timestamp, m=m, fid=self.frame_id,
                    view_pid=self._view_pid,
                    view_cap=len(self._view_pid), prev=prev,
-                   ring_slot=self._ring_slot, ring_after=out[7])
-        # pre-dispatch the packed feature snapshot (a ~0.4 ms device
-        # program): if this frame becomes a keyframe, the host fetch hits a
-        # long-READY buffer (~15 ms) instead of a fresh one (~140 ms)
-        from ..frontend.frame import pack_frame
-        rec["snap_dev"] = pack_frame(fd)
+                   ring_slot=self._ring_slot, ring_after=out[7],
+                   snap_off=L, snap_len=Ls)
         if with_lines:
             rec["fl"] = self._cur_fl
             rec["line_view_ids"] = self._line_view_ids
-            rec["lines_snap_dev"] = _pack_frame_lines(self._cur_fl)
         self._dev_T, self._dev_vel = out[5], out[6]
         self._dev_ring = out[7]
         self._dev_since, self._dev_refm = out[8], out[9]
@@ -1000,7 +1032,7 @@ class StereoTracker:
         # matters (new landmarks dominate the view), so finalize in very
         # short windows until the first keyframes land
         n_kf = self.store.n_kf
-        W_eff = min(W, 4) if n_kf >= 4 else min(W, 2)
+        W_eff = W if n_kf >= 4 else min(W, 2)
         if self._ring_slot >= W_eff:
             # window complete: hand the ring fetch to the IO pool and keep
             # dispatching — finalize happens when the readback lands (the
@@ -1009,17 +1041,32 @@ class StereoTracker:
             # on the host)
             self._ring_slot = 0
             recs, self._pending = self._pending, []
-            if self._ring_inflight:
+            # submit THIS window's fetch BEFORE block-absorbing the previous
+            # one: the ring fetch pays ~40-175 ms of relay completion
+            # latency, and absorbing first left it ~1 ms of background time
+            # (measured lead=1-3ms) — the whole latency sat on the critical
+            # path. Submitting first overlaps it with the previous window's
+            # finalize + keyframe work. The ring buffer version is
+            # immutable (no donation), so later steps can't clobber it.
+            t_sub = _time.perf_counter()
+
+            def _fetch(a=recs[-1]["ring_after"]):
+                arr = np.asarray(a)
+                return arr, _time.perf_counter()
+
+            fut = self._tr_io.submit(_fetch)
+            self._ring_inflight.append((recs, fut, t_sub))
+            if len(self._ring_inflight) >= self.max_inflight_windows + 1:
                 r2 = self._absorb_ring(block=True)  # keep windows ordered
                 if r2 is not None:
                     ret = r2
-            if self._resync:
-                # the absorb poisoned the chain; the window just dispatched
-                # is finalized through the resync path on the next call
-                self._pending = recs
-            else:
-                fut = self._tr_io.submit(np.asarray, recs[-1]["ring_after"])
-                self._ring_inflight.append((recs, fut))
+            if self._resync and self._ring_inflight:
+                # the absorb poisoned the chain: re-route the still-inflight
+                # window(s) through the resync path on the next call (their
+                # fetched results were computed from a poisoned pose chain)
+                self._pending = [r for recs_, _, _ in self._ring_inflight
+                                 for r in recs_] + self._pending
+                self._ring_inflight.clear()
         return ret if ret is not None else (self.T_cw.copy(), None)
 
     def _absorb_ring(self, block: bool):
@@ -1030,40 +1077,41 @@ class StereoTracker:
         ret = None
         first = True
         while self._ring_inflight:
-            recs, fut = self._ring_inflight[0]
+            recs, fut, t_sub = self._ring_inflight[0]
             if not fut.done() and not (block and first):
                 break
             first = False
             t_g = _time.perf_counter()
-            batch = fut.result()
-            recs[-1]["m"].t_get = _time.perf_counter() - t_g
+            batch, t_done = fut.result()
+            m_last = recs[-1]["m"]
+            m_last.t_get = _time.perf_counter() - t_g
+            m_last.t_fetch_lat = t_done - t_sub
+            m_last.t_fetch_lead = t_g - t_sub
             self._ring_inflight.popleft()
-            self._prefetch_kf_snaps(recs, batch)
+            self._attach_snaps(recs, batch)
             for r in recs:
                 ret = self._finalize_rec(r, packed_np=batch[r["ring_slot"]])
             if self._resync:
                 break
         return ret
 
-    def _prefetch_kf_snaps(self, recs, batch):
-        """Scan a fetched window's on-device KF flags and start the keyframe
-        feature snapshots (a ~15-40 ms relay readback each) on the IO thread
-        before the finalize loop reaches them."""
-        if self._tr_io is None or self.localization_only:
+    def _attach_snaps(self, recs, batch):
+        """Unpack the keyframe feature snapshots of a fetched window's
+        KF-flagged rows. The snapshots RIDE the ring rows (written by the
+        chained step), so this is a pure host-side slice+view — the round-4
+        design paid a separate ~25-80 ms relay RPC per keyframe here."""
+        if self.localization_only:
             return
         from ..frontend.frame import unpack_frame_np
         n_kp = self.store.n_kp
-
-        def fetch_snap(dev):
-            return unpack_frame_np(np.asarray(dev), n_kp)
-
         for r in recs:
-            if batch[r["ring_slot"]][22] > 0:
-                r["snap_fut"] = self._tr_io.submit(fetch_snap,
-                                                   r["snap_dev"])
+            row = batch[r["ring_slot"]]
+            if row[22] > 0 and r.get("snap_len"):
+                o = r["snap_off"]
+                r["snap_np"] = unpack_frame_np(row[o:o + r["snap_len"]],
+                                               n_kp)
                 if "fl" in r:
-                    r["lines_snap_fut"] = self._tr_io.submit(
-                        np.asarray, r["lines_snap_dev"])
+                    r["lines_snap_np"] = row[o + r["snap_len"]:]
 
     def flush(self):
         """Finalize all in-flight pipelined frames (one ring fetch) and
@@ -1083,7 +1131,7 @@ class StereoTracker:
                 recs.append(self._pending.pop(0))
             batch = np.asarray(recs[-1]["ring_after"])
             if not self._resync:
-                self._prefetch_kf_snaps(recs, batch)
+                self._attach_snaps(recs, batch)
             for rec in recs:
                 r = self._finalize_rec(rec, packed_np=batch[rec["ring_slot"]])
                 if r is not None:
@@ -1198,7 +1246,10 @@ class StereoTracker:
             return self.T_cw.copy(), m
 
         if packed_np is not None:
-            packed = packed_np
+            # ring rows carry [packed | snap | lines_snap]; only the packed
+            # section is frame telemetry (snaps split off in _attach_snaps)
+            packed = (packed_np[:rec["snap_off"]]
+                      if rec.get("snap_len") else packed_np)
         else:
             t_g = _time.perf_counter()
             packed = jax.device_get(rec["out"][0])
@@ -1273,6 +1324,8 @@ class StereoTracker:
                             fid=rec["fid"],
                             pipelined=True, snap_fut=rec.get("snap_fut"),
                             lines_snap_fut=rec.get("lines_snap_fut"),
+                            snap_np=rec.get("snap_np"),
+                            lines_snap_np=rec.get("lines_snap_np"),
                             n_in_kf=int(n_in))
             m.t_kf = _time.perf_counter() - t_kf0
             m.new_kf = True
@@ -1865,6 +1918,7 @@ class StereoTracker:
     def _create_kf(self, fd: FrameData, kp2pt: np.ndarray, timestamp: float,
                    fid: int | None = None, pipelined: bool = False,
                    snap_fut=None, lines_snap_fut=None,
+                   snap_np=None, lines_snap_np=None,
                    n_in_kf: int | None = None) -> bool:
         """CreateNewKeyFrame (Tracking.cc:1367-1444): insert KF, create
         close-depth points (all < ThDepth, or 100 nearest), then run the
@@ -1885,7 +1939,8 @@ class StereoTracker:
             t_prev = now
 
         s = self.store
-        feats, depth = (snap_fut.result() if snap_fut is not None
+        feats, depth = (snap_np if snap_np is not None
+                        else snap_fut.result() if snap_fut is not None
                         else self._snapshot_np(fd))
         mark("snap")
         kf = s.add_keyframe(self.T_cw, feats, depth, kp2pt,
@@ -1912,7 +1967,8 @@ class StereoTracker:
         self._prov_kf_pid = kp2pt.copy()
         mark("pts")
         if self.enable_lines and self._cur_fl is not None:
-            self._create_kf_lines(kf, lines_snap_fut=lines_snap_fut)
+            self._create_kf_lines(kf, lines_snap_fut=lines_snap_fut,
+                                  lines_snap_np=lines_snap_np)
         mark("lines")
         s.set_parent_from_covisibility(kf)
         self.ref_kf = kf
@@ -1987,7 +2043,8 @@ class StereoTracker:
             dict(mapper=t1 - t0, loop=t2 - t1, view=t3 - t2))
         return corrected
 
-    def _create_kf_lines(self, kf: int, lines_snap_fut=None):
+    def _create_kf_lines(self, kf: int, lines_snap_fut=None,
+                         lines_snap_np=None):
         """Line half of keyframe creation: snapshot the frame's detections,
         attach observations of associated map lines, create new map lines
         from unassociated stereo-triangulated detections (the MatchLinesLastKF
@@ -2006,7 +2063,8 @@ class StereoTracker:
         lmark(None)
         s = self.store
         fl = self._cur_fl
-        buf = (lines_snap_fut.result() if lines_snap_fut is not None
+        buf = (lines_snap_np if lines_snap_np is not None
+               else lines_snap_fut.result() if lines_snap_fut is not None
                else np.asarray(_pack_frame_lines(fl)))
         snap = _unpack_frame_lines_np(buf, s.n_ln_det, s.ln_desc.shape[1])
         lmark("snap")

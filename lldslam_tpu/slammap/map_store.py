@@ -500,9 +500,11 @@ class MapStore:
         ids = self.kf_pt_ids[:K]
         sel = ids >= 0
         w = np.where(self.kf_ur[:K] >= 0, 2, 1).astype(np.int32)
-        counts = np.zeros(self.max_pt, np.int32)
-        np.add.at(counts, ids[sel], w[sel])
-        self.pt_nobs = counts
+        # bincount is ~10x np.add.at here (np.add.at's unbuffered gather-
+        # scatter dominated the per-KF host profile at K≳10)
+        counts = np.bincount(ids[sel], weights=w[sel],
+                             minlength=self.max_pt)
+        self.pt_nobs = counts.astype(np.int32)
 
     def _update_point_geometry(self, pt_ids: np.ndarray, max_obs: int = 12):
         """Recompute distinctive descriptor, viewing normal, scale range
