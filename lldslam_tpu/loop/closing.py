@@ -49,6 +49,34 @@ class LoopEvent:
     n_inliers: int
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("cam",))
+def _sim3_attempt_packed(cam, X1p, X2p, uv1p, uv2p, s2_1, s2_2, vmask, key):
+    """RANSAC + GN-refined Sim3 in ONE program with ONE packed readback:
+    [n_inl, n_ref, R(9) bitcast, t(3) bitcast, s bitcast, inl2 bit-words].
+    The previous two-program flow synced int(n_inl) mid-way — a ~25-40 ms
+    relay RPC per perceptual-aliasing candidate, at near-KF rate on
+    self-similar worlds (reference gate semantics unchanged:
+    LoopClosing.cc:328-331)."""
+    from ..pipeline.tracker import _pack_bits
+
+    (R, t, sc), inl, n_inl = sim3_solver.ransac_sim3(
+        cam, cam, X1p, X2p, uv1p, uv2p, s2_1, s2_2, vmask, key)
+    (R2, t2, sc2), inl2, n_ref = sim3_solver.refine_sim3(
+        cam, cam, (R, t, sc), X1p, X2p, uv1p, uv2p,
+        1.0 / s2_1, 1.0 / s2_2, inl & vmask)
+    bc = lambda a: jax.lax.bitcast_convert_type(
+        jnp.asarray(a, jnp.float32).reshape(-1), jnp.int32)
+    return jnp.concatenate([
+        n_inl.astype(jnp.int32).reshape(1),
+        n_ref.astype(jnp.int32).reshape(1),
+        bc(R2), bc(t2), bc(sc2),
+        _pack_bits(inl2),
+    ])
+
+
 class LoopCloser:
     def __init__(self, store: MapStore, voc: Vocabulary, cfg: SlamConfig,
                  covisibility_consistency_th: int = 3,
@@ -227,22 +255,25 @@ class LoopCloser:
         uv1p = jnp.asarray(pad(uv1.astype(np.float32)))
         uv2p = jnp.asarray(pad(uv2.astype(np.float32)))
         vmask = jnp.asarray(np.arange(cap) < n)
-        (R, t, sc), inl, n_inl = sim3_solver.ransac_sim3(
-            cam, cam, X1p, X2p, uv1p, uv2p,
+        # RANSAC + GN refinement chained in ONE device round trip (both
+        # accept gates checked on host after a single batched fetch —
+        # separate int(n_inl)/int(n_ref) syncs cost a ~25-40 ms relay RPC
+        # each, and perceptual-aliasing candidates reach here at KF rate
+        # on self-similar worlds)
+        out = np.asarray(_sim3_attempt_packed(
+            cam, X1p, X2p, uv1p, uv2p,
             jnp.asarray(pad(s2_1, 1.0)), jnp.asarray(pad(s2_2, 1.0)),
-            vmask, key)
-        if int(n_inl) < 20:
+            vmask, key))
+        n_inl, n_ref = int(out[0]), int(out[1])
+        if n_inl < 20:
             return None
-        # GN refinement on the RANSAC inliers (OptimizeSim3 accept gate
-        # >= 20 inliers, LoopClosing.cc:328-331)
-        (R, t, sc), inl2, n_ref = sim3_solver.refine_sim3(
-            cam, cam, (R, t, sc), X1p, X2p, uv1p, uv2p,
-            jnp.asarray(1.0 / pad(s2_1, 1.0)), jnp.asarray(1.0 / pad(s2_2, 1.0)),
-            inl & vmask)
-        n_ref = int(n_ref)
         if n_ref < 20:  # OptimizeSim3 gate (LoopClosing.cc:328-331)
             return None
-        R, t, sc = np.asarray(R), np.asarray(t), float(sc)
+        R = out[2:11].view(np.float32).reshape(3, 3)
+        t = out[11:14].view(np.float32)
+        sc = float(out[14:15].view(np.float32)[0])
+        from ..pipeline.tracker import _unpack_bits_np
+        inl2 = _unpack_bits_np(out[15:], cap)
 
         # --- guided matching with the corrected pose (LoopClosing.cc:
         # 336-387): project the loop side's local map points into the

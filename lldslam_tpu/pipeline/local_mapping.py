@@ -173,8 +173,12 @@ class LocalMapper:
             jax.block_until_ready(mapper_fast.kf_stage_words_flat(
                 self.cam, lay, self.cache.arrays, buf, self._lut_dev,
                 ch, nd, nw, s.cfg.n_levels, s.cfg.scale, voc.L)[0])
+        voc_args = (voc.device_arrays() if voc is not None
+                    else (jnp.zeros(1, jnp.int32),) * 3)
+        voc_L = voc.L if voc is not None else 0
+        n_st = lay.offsets["_total"]
         if self.enable_lines:
-            self._warmup_lines()
+            self._warmup_lines(lay, n_st, voc_args, voc_L)
             return
         for P in self.p_buckets:
             for tv in self._tv_caps(P):
@@ -186,6 +190,14 @@ class LocalMapper:
                 out = mapper_fast.ba_view_cached(
                     self.cam, bl, self.cache.arrays, bbuf, self._lut_dev)
                 jax.block_until_ready(out)
+                # fused stage+BA variant (pipelined keyframe path)
+                cbuf = jax.device_put(
+                    np.zeros(n_st + bl.offsets["_total"], np.int32))
+                out = mapper_fast.fused_kf_ba_flat(
+                    self.cam, lay, bl, self.cache.arrays, cbuf,
+                    self._lut_dev, *voc_args, s.cfg.n_levels, s.cfg.scale,
+                    voc_L)
+                jax.block_until_ready(out[0])
 
     def _tv_caps(self, P: int):
         """Tracking-view capacities the BA program will actually run at —
@@ -196,8 +208,9 @@ class LocalMapper:
             return (self.fixed_tv_cap,)
         return (2048,) if P <= 2048 else (2048, 4096)
 
-    def _warmup_lines(self):
-        """Packed joint point+line BA warmup per bucket."""
+    def _warmup_lines(self, slay=None, n_st=0, voc_args=None, voc_L=0):
+        """Packed joint point+line BA warmup per bucket (+ the fused
+        stage+joint-BA variant when the stage layout is provided)."""
         for P in self.p_buckets:
             for tv in self._tv_caps(P):
                 bl = mapper_fast.BaLayout(
@@ -211,6 +224,15 @@ class LocalMapper:
                     self.cam, jlay, self.cache.arrays, bbuf, self._lut_dev,
                     float(self.cfg.line.gamma))
                 jax.block_until_ready(out)
+                if slay is not None:
+                    cbuf = jax.device_put(np.zeros(
+                        n_st + jlay.offsets["_total"], np.int32))
+                    out = mapper_fast.fused_kf_joint_ba_flat(
+                        self.cam, slay, jlay, self.cache.arrays, cbuf,
+                        self._lut_dev, *voc_args,
+                        self.store.cfg.n_levels, self.store.cfg.scale,
+                        voc_L, float(self.cfg.line.gamma))
+                    jax.block_until_ready(out[0])
 
     def note_created(self, kf_id: int, pt_ids: np.ndarray):
         self._recent.append((kf_id, np.asarray(pt_ids)))
@@ -245,8 +267,9 @@ class LocalMapper:
             # (the queue-overflow path in dispatch_kf_stage forces it)
             if self._pending_kfq[0]["flat_fut"].done():
                 kf_id = self._pending_kfq[0]["kf_id"]
-                self.absorb_kf_stage()
-                return self.dispatch_ba(kf_id)
+                rec = self.absorb_kf_stage()
+                if not rec.get("fused"):
+                    return self.dispatch_ba(kf_id)
             return None
         if self._pending_ba is not None:
             self._ba_age += 1
@@ -258,8 +281,9 @@ class LocalMapper:
         """Absorb all pending staged work synchronously."""
         while self._pending_kfq:
             kf_id = self._pending_kfq[0]["kf_id"]
-            self.absorb_kf_stage()
-            self.dispatch_ba(kf_id)
+            rec = self.absorb_kf_stage()
+            if not rec.get("fused"):
+                self.dispatch_ba(kf_id)
         if self._pending_ba is not None:
             self.absorb_ba()
 
@@ -280,7 +304,7 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
 
-    def dispatch_kf_stage(self, kf_id: int, voc=None):
+    def dispatch_kf_stage(self, kf_id: int, voc=None, fuse_ba: bool = False):
         """Host-side culling + one packed upload + one device dispatch for
         triangulation & fusion. `voc` optionally passes the loop closer's
         Vocabulary: the KF's BoW tree descent then runs INSIDE the same
@@ -294,8 +318,9 @@ class LocalMapper:
             # queue overflow (3 keyframes inside ~one readback window —
             # rare): force-absorb the oldest stage
             prev = self._pending_kfq[0]["kf_id"]
-            self.absorb_kf_stage()
-            self.dispatch_ba(prev)
+            rec_prev = self.absorb_kf_stage()
+            if not rec_prev.get("fused"):
+                self.dispatch_ba(prev)
         s = self.store
         s.refresh_obs_counts()
         t_refresh = _time.perf_counter()
@@ -341,26 +366,63 @@ class LocalMapper:
             slots[lay.b1:], nbs_fuse, n_tri, n_fuse, pids)
         self.stage_times["dk_pack"] = self.stage_times.get(
             "dk_pack", 0.0) + (_time.perf_counter() - t_cov)
-        def io_task():
-            buf = jax.device_put(buf_np)
-            if voc is not None:
-                ch, nd, nw = voc.device_arrays()
-                flat_d, tri_bufs, fuse_bufs = mapper_fast.kf_stage_words_flat(
-                    self.cam, lay, self.cache.arrays, buf, self._lut_dev,
-                    ch, nd, nw, s.cfg.n_levels, s.cfg.scale, voc.L)
+        # fused mode: this keyframe's windowed BA shares the stage upload
+        # and readback (2 relay RPCs per KF instead of 4; the BA sees the
+        # keyframe-creation store state — see mapper_fast.fused_kf_ba_flat)
+        ba_prep = self._prepare_ba(kf_id) if fuse_ba else None
+        if ba_prep is not None:
+            from concurrent.futures import Future
+            view_fut: Future = Future()
+            cat_np = np.concatenate([buf_np, ba_prep["buf"]])
+            vp = ba_prep["vp"]
+            voc_args = (voc.device_arrays() if voc is not None
+                        else (jnp.zeros(1, jnp.int32),) * 3)
+            voc_L = voc.L if voc is not None else 0
+
+            def io_task():
+                buf = jax.device_put(cat_np)
+                if ba_prep["kind"] == "joint":
+                    flat_d, tri_bufs, fuse_bufs, view = \
+                        mapper_fast.fused_kf_joint_ba_flat(
+                            self.cam, lay, ba_prep["lay"], self.cache.arrays,
+                            buf, self._lut_dev, *voc_args,
+                            s.cfg.n_levels, s.cfg.scale, voc_L,
+                            float(self.cfg.line.gamma))
+                else:
+                    flat_d, tri_bufs, fuse_bufs, view = \
+                        mapper_fast.fused_kf_ba_flat(
+                            self.cam, lay, ba_prep["lay"], self.cache.arrays,
+                            buf, self._lut_dev, *voc_args,
+                            s.cfg.n_levels, s.cfg.scale, voc_L)
+                view_fut.set_result((view, vp))
                 flat = np.asarray(flat_d)
-            else:
-                tri_bufs, fuse_bufs = mapper_fast.kf_stage_cached(
-                    self.cam, lay, self.cache.arrays, buf, self._lut_dev,
-                    s.cfg.n_levels, s.cfg.scale)
-                flat = np.asarray(mapper_fast.concat_flat(tri_bufs,
-                                                          fuse_bufs))
-            return flat, tuple(tri_bufs.shape), tuple(fuse_bufs.shape)
+                return flat, tuple(tri_bufs.shape), tuple(fuse_bufs.shape)
+
+            self.pending_view_fut = view_fut
+            self._ba_age = 0
+        else:
+            def io_task():
+                buf = jax.device_put(buf_np)
+                if voc is not None:
+                    ch, nd, nw = voc.device_arrays()
+                    flat_d, tri_bufs, fuse_bufs = \
+                        mapper_fast.kf_stage_words_flat(
+                            self.cam, lay, self.cache.arrays, buf,
+                            self._lut_dev, ch, nd, nw,
+                            s.cfg.n_levels, s.cfg.scale, voc.L)
+                    flat = np.asarray(flat_d)
+                else:
+                    tri_bufs, fuse_bufs = mapper_fast.kf_stage_cached(
+                        self.cam, lay, self.cache.arrays, buf, self._lut_dev,
+                        s.cfg.n_levels, s.cfg.scale)
+                    flat = np.asarray(mapper_fast.concat_flat(tri_bufs,
+                                                              fuse_bufs))
+                return flat, tuple(tri_bufs.shape), tuple(fuse_bufs.shape)
 
         self._kf_age = 0
         self._pending_kfq.append(dict(
             kf_id=kf_id, flat_fut=self._io.submit(io_task),
-            has_words=voc is not None,
+            has_words=voc is not None, fused=fuse_ba, ba=ba_prep,
             nbs_tri=nbs_tri[:n_tri], nbs_fuse=nbs_fuse[:n_fuse],
             pid_arr=np.concatenate(
                 [pids, np.full(lay.view_cap - len(pids), -1, np.int64)])))
@@ -382,8 +444,15 @@ class LocalMapper:
         n_fuse = int(np.prod(fuse_shape))
         tri_bufs = flat[:n_tri].reshape(tri_shape)
         fuse_flat = flat[n_tri:n_tri + n_fuse].reshape(fuse_shape)
-        self.absorbed_words = (kf_id, flat[n_tri + n_fuse:]) \
-            if rec["has_words"] else None
+        o = n_tri + n_fuse
+        if rec["has_words"]:
+            self.absorbed_words = (kf_id, flat[o:o + s.n_kp])
+            o += s.n_kp
+        else:
+            self.absorbed_words = None
+        # fused dispatch: the windowed BA result rides the same flat
+        # readback (one RPC for the whole keyframe path)
+        rec["ba_tail"] = flat[o:] if rec.get("ba") is not None else None
         created: list[int] = []
         claimed = np.zeros(s.n_kp, bool)
         from . import mapping_ops
@@ -414,41 +483,73 @@ class LocalMapper:
         st["triangulate"] = st.get("triangulate", 0.0) + (t1 - t0)
         st["fuse"] = st.get("fuse", 0.0) + (_time.perf_counter() - t1)
         st["n"] = st.get("n", 0) + 1
+        if rec.get("ba") is not None:
+            self._writeback_ba(rec["ba"], rec["ba_tail"])
+        return rec
 
     def _fuse_writeback(self, fuse_bufs, pid_arr, nbs_fuse, cap):
+        """Fusion writeback, vectorized per neighbor (the per-hit Python
+        loop with a full (K, n_kp) scan per merge was ~66 ms/KF in the
+        round-5 host profile — the single largest host cost)."""
         s = self.store
-        merged = False
+        merges: list[tuple[int, int]] = []
         for bi, nb in enumerate(nbs_fuse):
             kp2pt = fuse_bufs[bi][cap:]
             hit = np.nonzero(kp2pt >= 0)[0]
+            if len(hit) == 0:
+                continue
+            p = pid_arr[kp2pt[hit]].astype(np.int64)
+            good = (p >= 0) & s.pt_valid[np.maximum(p, 0)]
+            hit, p = hit[good], p[good]
             row = s.kf_pt_ids[nb]
+            q = row[hit]
             # MapPoint::IsInKeyFrame guard (MapPoint.cc:396): never give one
             # KF two features on the same point — duplicate (k, p) obs rows
             # make the dense BA scatter nondeterministic
-            present = set(int(x) for x in row[row >= 0])
-            for kp in hit:
-                p = int(pid_arr[kp2pt[kp]])
-                if p < 0 or not s.pt_valid[p]:
-                    continue
-                q = int(row[kp])
-                if q == p:
-                    continue
-                if q < 0:
-                    if p in present:
-                        continue
-                    row[kp] = p  # new observation
-                    present.add(p)
+            new_m = q < 0
+            if new_m.any():
+                cand_hit, cand_p = hit[new_m], p[new_m]
+                ok = ~np.isin(cand_p, row[row >= 0])
+                first = np.zeros(len(cand_p), bool)
+                first[np.unique(cand_p, return_index=True)[1]] = True
+                ok &= first
+                if ok.any():
+                    row[cand_hit[ok]] = cand_p[ok]
                     s.mark_obs_dirty()
-                elif s.pt_valid[q]:
-                    # merge: most-observed point survives (MapPoint::Replace)
-                    keep, drop = (p, q) if s.pt_nobs[p] >= s.pt_nobs[q] \
-                        else (q, p)
-                    K = s.n_kf
-                    m = s.kf_pt_ids[:K] == drop
-                    s.kf_pt_ids[:K][m] = keep
-                    s.pt_valid[drop] = False
-                    merged = True
-                    s.mark_obs_dirty()
+            mer = (q >= 0) & (q != p) & s.pt_valid[np.maximum(q, 0)]
+            for pp, qq in zip(p[mer], q[mer]):
+                # merge: most-observed point survives (MapPoint::Replace)
+                keep, drop = ((int(pp), int(qq))
+                              if s.pt_nobs[pp] >= s.pt_nobs[qq]
+                              else (int(qq), int(pp)))
+                merges.append((keep, drop))
+        merged = False
+        if merges:
+            # batched apply: resolve keep-chains in a dict, then one
+            # vectorized remap pass over the live observation table
+            target: dict[int, int] = {}
+            for keep, drop in merges:
+                while keep in target:
+                    keep = target[keep]
+                if keep != drop and drop not in target:
+                    target[drop] = keep
+            if target:
+                def _resolve(x: int) -> int:
+                    while x in target:
+                        x = target[x]
+                    return x
+                drops = np.fromiter(target.keys(), np.int64, len(target))
+                keeps = np.fromiter((_resolve(v) for v in target.values()),
+                                    np.int64, len(target))
+                order = np.argsort(drops)
+                drops, keeps = drops[order], keeps[order]
+                s.pt_valid[drops] = False
+                K = s.n_kf
+                ids = s.kf_pt_ids[:K]
+                m = np.isin(ids, drops)
+                ids[m] = keeps[np.searchsorted(drops, ids[m])]
+                s.mark_obs_dirty()
+                merged = True
         if merged:
             # a merge can leave some KF observing `keep` on two features;
             # keep the first slot per (KF, point) row-wise
@@ -475,26 +576,33 @@ class LocalMapper:
     def _o_bkt(self, p_bkt: int) -> int:
         return max(self.o_cap // self.p_cap, 1) * p_bkt
 
-    def dispatch_ba(self, kf_id: int):
-        """Build + dispatch the windowed BA with on-device view assembly.
-        Returns (view, view_pids) for the tracker, or None when BA is
-        skipped this keyframe."""
+    def _ba_inflight(self) -> bool:
+        """Is a windowed BA (legacy or fused into a KF stage) still riding
+        the relay?"""
+        if self._pending_ba is not None \
+                and not self._pending_ba["result_fut"].done():
+            return True
+        return any(r.get("ba") is not None and not r["flat_fut"].done()
+                   for r in self._pending_kfq)
+
+    def _prepare_ba(self, kf_id: int):
+        """Eligibility check + problem build + packed upload buffer for this
+        keyframe's windowed BA. Returns None when BA is skipped (previous
+        BA still in flight — the deterministic analogue of the reference's
+        mbAbortBA interrupt, LocalMapping.cc:InterruptBA / Optimizer.cc:473
+        pbStopFlag, which aborts local BA whenever a new KF arrives
+        mid-optimization; blocking here instead cost 35-90 ms/KF of relay
+        wait, measured round 5: 12.5 -> 17.8 fps when lifted). Culling of
+        skipped keyframes happens here; for dispatched BAs it runs in the
+        writeback."""
         import time as _time
         t0 = _time.perf_counter()
+        if self._ba_inflight():
+            self.stage_times["ba_skip_dropped"] = self.stage_times.get(
+                "ba_skip_dropped", 0) + 1
+            self.cull_keyframes(kf_id)
+            return None
         if self._pending_ba is not None:
-            if not self._pending_ba["result_fut"].done():
-                # the previous window's BA is still in flight: SKIP this
-                # keyframe's BA instead of blocking on it — the
-                # deterministic analogue of the reference's mbAbortBA
-                # interrupt (LocalMapping.cc:InterruptBA / Optimizer.cc:473
-                # pbStopFlag), which aborts local BA whenever a new KF
-                # arrives mid-optimization. Measured round 5: blocking here
-                # cost 35-90 ms/KF of relay wait and was the single largest
-                # throughput drain (12.5 -> 17.8 fps when lifted).
-                self.stage_times["ba_skip_dropped"] = self.stage_times.get(
-                    "ba_skip_dropped", 0) + 1
-                self.cull_keyframes(kf_id)
-                return None
             # results already landed — absorb before overwriting
             self.absorb_ba()
         t1 = _time.perf_counter()
@@ -509,8 +617,6 @@ class LocalMapper:
         if meta is None:
             self.cull_keyframes(kf_id)
             return None
-        self.stage_times["dba_build"] = self.stage_times.get(
-            "dba_build", 0.0) + (_time.perf_counter() - t1)
         # tracking view selection (UpdateLocalPoints, Tracking.cc:1677-1724)
         view_pids = self._select_view_pids(kf_id)
         meta["tv_cap"] = self.fixed_tv_cap or (
@@ -530,10 +636,7 @@ class LocalMapper:
         vp = np.concatenate([
             view_pids,
             np.full(meta["tv_cap"] - len(view_pids), -1, np.int64)])
-        from concurrent.futures import Future
-        view_fut: Future = Future()
         if self.enable_lines:
-            # joint point+line window BA, one packed upload
             lmeta = self._line_obs_np(meta["window"])
             jlay = mapper_fast.JointBaLayout(
                 base=lay, l_cap=self.l_cap, lo_cap=self.lo_cap)
@@ -542,6 +645,36 @@ class LocalMapper:
                 meta["okf"], meta["ofe"], meta["p_idx"], view_pids,
                 view_p_idx, lmeta["lids"], lmeta["wk"], lmeta["wd"],
                 lmeta["l_idx"])
+            prep = dict(kind="joint", lay=jlay, buf=buf_np, meta=meta,
+                        lmeta=lmeta, vp=vp, kf_id=kf_id)
+        else:
+            buf_np = mapper_fast.pack_ba(
+                lay, s, meta["window"], slots, meta["n_free"], meta["pts"],
+                meta["okf"], meta["ofe"], meta["p_idx"], view_pids,
+                view_p_idx)
+            prep = dict(kind="points", lay=lay, buf=buf_np, meta=meta,
+                        vp=vp, kf_id=kf_id)
+        self.stage_times["dba_build"] = self.stage_times.get(
+            "dba_build", 0.0) + (_time.perf_counter() - t1)
+        return prep
+
+    def dispatch_ba(self, kf_id: int):
+        """Build + dispatch the windowed BA with on-device view assembly
+        (legacy standalone path: the pipelined tracker fuses BA into the
+        keyframe stage dispatch instead — dispatch_kf_stage(fuse_ba=True)).
+        Returns the (view, view_pids) future for the tracker, or None when
+        BA is skipped this keyframe."""
+        import time as _time
+        t0 = _time.perf_counter()
+        prep = self._prepare_ba(kf_id)
+        if prep is None:
+            return None
+        from concurrent.futures import Future
+        view_fut: Future = Future()
+        buf_np, vp = prep["buf"], prep["vp"]
+
+        if prep["kind"] == "joint":
+            jlay = prep["lay"]
 
             def io_task():
                 buf = jax.device_put(buf_np)
@@ -550,15 +683,8 @@ class LocalMapper:
                     float(self.cfg.line.gamma))
                 view_fut.set_result((view, vp))
                 return np.asarray(result)
-
-            self._pending_ba = dict(
-                kind="joint", result_fut=self._io.submit(io_task),
-                meta=meta, lmeta=lmeta, kf_id=kf_id)
         else:
-            buf_np = mapper_fast.pack_ba(
-                lay, s, meta["window"], slots, meta["n_free"], meta["pts"],
-                meta["okf"], meta["ofe"], meta["p_idx"], view_pids,
-                view_p_idx)
+            lay = prep["lay"]
 
             def io_task():
                 buf = jax.device_put(buf_np)
@@ -567,9 +693,9 @@ class LocalMapper:
                 view_fut.set_result((view, vp))
                 return np.asarray(result)
 
-            self._pending_ba = dict(
-                kind="points", result_fut=self._io.submit(io_task),
-                meta=meta, kf_id=kf_id)
+        self._pending_ba = dict(
+            kind=prep["kind"], result_fut=self._io.submit(io_task),
+            meta=prep["meta"], lmeta=prep.get("lmeta"), kf_id=kf_id)
         # the ~40 ms relay upload + program dispatch ride the IO thread; the
         # tracker adopts the post-BA view when the future resolves
         # (_adopt_view) and keeps tracking on the previous view meanwhile
@@ -580,13 +706,16 @@ class LocalMapper:
         return view_fut
 
     def absorb_ba(self):
+        """Fetch the standalone BA result and write it back."""
+        rec, self._pending_ba = self._pending_ba, None
+        self._writeback_ba(rec, rec["result_fut"].result())
+
+    def _writeback_ba(self, rec, buf):
         """BA writeback + outlier erasure + keyframe culling."""
         import time as _time
         t0 = _time.perf_counter()
-        rec, self._pending_ba = self._pending_ba, None
         s = self.store
         meta = rec["meta"]
-        buf = rec["result_fut"].result()
         K, P = self.k_cap, meta["p_bkt"]
         if rec.get("kind") == "joint":
             o = 0
@@ -600,8 +729,10 @@ class LocalMapper:
             dn = buf[o:o + 3 * LC].view(np.float32).reshape(LC, 3)
             o += 3 * LC
             O_cap = self._o_bkt(P)
-            keep = buf[o:o + O_cap].astype(bool); o += O_cap
-            keep_l = buf[o:o + self.lo_cap].astype(bool)
+            nw = mapper_fast.n_bit_words(O_cap)
+            keep = mapper_fast.unpack_bits_np(buf[o:o + nw], O_cap); o += nw
+            keep_l = mapper_fast.unpack_bits_np(
+                buf[o:o + mapper_fast.n_bit_words(self.lo_cap)], self.lo_cap)
             lmeta = rec["lmeta"]
             lids = lmeta["lids"]
             if len(lids):
@@ -616,7 +747,14 @@ class LocalMapper:
                 s.kf_ln_ids[meta["window"][lmeta["wk"][badl]],
                             lmeta["wd"][badl]] = -1
         else:
-            poses, points, keep = ba.unpack_local_ba_np(buf, K, P)
+            o = 0
+            poses = buf[o:o + 16 * K].view(np.float32).reshape(K, 4, 4)
+            o += 16 * K
+            points = buf[o:o + 3 * P].view(np.float32).reshape(P, 3)
+            o += 3 * P
+            O_cap = self._o_bkt(P)
+            keep = mapper_fast.unpack_bits_np(
+                buf[o:o + mapper_fast.n_bit_words(O_cap)], O_cap)
         window, n_free, pts = meta["window"], meta["n_free"], meta["pts"]
         s.kf_pose[window[:n_free]] = poses[:n_free]
         s.pt_pos[pts] = points[: len(pts)]
@@ -658,11 +796,10 @@ class LocalMapper:
         if len(covis) == 0:
             return
         K = s.n_kf
-        # distinct-KF observer count per point
-        obs_kf = np.zeros(s.max_pt, np.int32)
+        # distinct-KF observer count per point (bincount ~10x np.add.at)
         ids = s.kf_pt_ids[:K]
         sel = ids >= 0
-        np.add.at(obs_kf, ids[sel], 1)
+        obs_kf = np.bincount(ids[sel], minlength=s.max_pt).astype(np.int32)
         for k in covis:
             k = int(k)
             if k == 0 or k == kf_id or not s.kf_valid[k]:

@@ -126,10 +126,11 @@ class KfStageLayout:
         N, B1, B2, V = self.n_kp, self.b1, self.b2, self.view_cap
         o = {}
         c = 0
+        nw = -(-N // 32)
         for name, size in (
             ("slots_tri", B1), ("slots_fuse", B2),
             ("poses_tri", B1 * 16), ("poses_fuse", B2 * 16),
-            ("free_tri", B1 * N), ("valid_fuse", B2 * N),
+            ("free_tri", B1 * nw), ("valid_fuse", B2 * nw),  # bit-packed
             ("view", V * VIEW_INTS_PER_PT),
         ):
             o[name] = c
@@ -146,17 +147,18 @@ def pack_kf_stage(layout: KfStageLayout, store, kf_id: int,
     N, B1, B2, V = layout.n_kp, layout.b1, layout.b2, layout.view_cap
     poses_tri = store.kf_pose[[kf_id] + nbs_tri].astype(np.float32)
     poses_fuse = store.kf_pose[nbs_fuse].astype(np.float32)
-    free_tri = np.zeros((B1, N), np.int32)
+    free_tri = np.zeros((B1, N), bool)
     free_tri[0] = store.kf_kp_valid[kf_id] & (store.kf_pt_ids[kf_id] < 0)
     for i, nb in enumerate(nbs_tri[:n_tri_real]):
         free_tri[1 + i] = store.kf_kp_valid[nb] & (store.kf_pt_ids[nb] < 0)
-    valid_fuse = np.zeros((B2, N), np.int32)
+    valid_fuse = np.zeros((B2, N), bool)
     for i, nb in enumerate(nbs_fuse[:n_fuse_real]):
         valid_fuse[i] = store.kf_kp_valid[nb]
     return np.concatenate([
         slots_tri.astype(np.int32), slots_fuse.astype(np.int32),
         _bc_f(poses_tri), _bc_f(poses_fuse),
-        free_tri.reshape(-1), valid_fuse.reshape(-1),
+        np_pack_bits_rows(free_tri).reshape(-1),
+        np_pack_bits_rows(valid_fuse).reshape(-1),
         pack_view(store, view_pids, V),
     ])
 
@@ -174,8 +176,11 @@ def kf_stage_cached(cam: StereoCamera, layout: KfStageLayout,
     slots_fuse = _slice_i(buf, o["slots_fuse"], (B2,))
     poses_tri = _slice_f(buf, o["poses_tri"], (B1, 4, 4))
     poses_fuse = _slice_f(buf, o["poses_fuse"], (B2, 4, 4))
-    free_tri = _slice_i(buf, o["free_tri"], (B1, N)) > 0
-    valid_fuse = _slice_i(buf, o["valid_fuse"], (B2, N)) > 0
+    nw = -(-N // 32)
+    free_tri = unpack_bits_rows_dev(
+        _slice_i(buf, o["free_tri"], (B1, nw)), N)
+    valid_fuse = unpack_bits_rows_dev(
+        _slice_i(buf, o["valid_fuse"], (B2, nw)), N)
     view = unpack_view(buf, o["view"], V)
 
     s0 = jnp.maximum(slots_tri[0], 0)
@@ -251,8 +256,10 @@ class BaLayout:
         for name, size in (
             ("slots", K), ("poses", K * 16), ("fixed", K),
             ("points", P * 3), ("pvalid", P),
-            ("obs_kfe", O),   # k * 8192 + feature index
-            ("obs_p", O), ("obs_n", 1),
+            # one word per observation: (k * 8192 + feature) * p_bkt + p
+            # (fits int32 for k_cap <= 24, n_kp <= 8192, p_bkt <= 8192;
+            # two separate words cost 48-96 KB extra upload per keyframe)
+            ("obs_w", O), ("obs_n", 1),
             ("tv_pidx", V),   # view slot -> problem point index or -1
             ("tv_view", V * VIEW_INTS_PER_PT),
         ):
@@ -278,15 +285,14 @@ def pack_ba(layout: BaLayout, store, window: np.ndarray, slots: np.ndarray,
     pvalid = np.zeros(P, np.int32)
     pvalid[: len(pts)] = store.pt_valid[pts]
     n_obs = len(okf)
-    obs_kfe = np.zeros(O, np.int32)
-    obs_kfe[:n_obs] = okf.astype(np.int32) * 8192 + ofe.astype(np.int32)
-    obs_p = np.zeros(O, np.int32)
-    obs_p[:n_obs] = p_idx
+    obs_w = np.zeros(O, np.int32)
+    obs_w[:n_obs] = ((okf.astype(np.int64) * 8192 + ofe.astype(np.int64))
+                     * P + p_idx).astype(np.int32)
     tv_pidx = np.full(V, -1, np.int32)
     tv_pidx[: len(view_p_idx)] = view_p_idx
     return np.concatenate([
         slots_pad, _bc_f(poses), fixed, _bc_f(points), pvalid,
-        obs_kfe, obs_p, np.array([n_obs], np.int32),
+        obs_w, np.array([n_obs], np.int32),
         tv_pidx, pack_view(store, view_pids, V),
     ])
 
@@ -308,12 +314,13 @@ def ba_view_cached(cam: StereoCamera, layout: BaLayout, cache: CacheArrays,
     fixed = _slice_i(buf, o["fixed"], (K,)) > 0
     points = _slice_f(buf, o["points"], (P, 3))
     pvalid = _slice_i(buf, o["pvalid"], (P,)) > 0
-    obs_kfe = _slice_i(buf, o["obs_kfe"], (O,))
-    obs_p = _slice_i(buf, o["obs_p"], (O,))
+    obs_w = _slice_i(buf, o["obs_w"], (O,))
     n_obs = _slice_i(buf, o["obs_n"], (1,))[0]
     tv_pidx = _slice_i(buf, o["tv_pidx"], (V,))
     tv = unpack_view(buf, o["tv_view"], V)
 
+    obs_kfe = obs_w // P
+    obs_p = obs_w % P
     obs_k = obs_kfe // 8192
     obs_fe = obs_kfe % 8192
     slot = slots[obs_k]
@@ -335,7 +342,7 @@ def ba_view_cached(cam: StereoCamera, layout: BaLayout, cache: CacheArrays,
     result = jnp.concatenate([
         bcast(solved.poses.reshape(-1)),
         bcast(solved.points.reshape(-1)),
-        keep.astype(jnp.int32),
+        pack_bits_dev(keep),
     ])
     # post-BA tracking view: solved position where the point is in the
     # problem, uploaded (host) position otherwise
@@ -431,8 +438,7 @@ def joint_ba_view_cached(cam: StereoCamera, layout: JointBaLayout,
     fixed = _slice_i(buf, o["fixed"], (K,)) > 0
     points = _slice_f(buf, o["points"], (P, 3))
     pvalid = _slice_i(buf, o["pvalid"], (P,)) > 0
-    obs_kfe = _slice_i(buf, o["obs_kfe"], (O,))
-    obs_p = _slice_i(buf, o["obs_p"], (O,))
+    obs_w = _slice_i(buf, o["obs_w"], (O,))
     n_obs = _slice_i(buf, o["obs_n"], (1,))[0]
     tv_pidx = _slice_i(buf, o["tv_pidx"], (V,))
     tv = unpack_view(buf, o["tv_view"], V)
@@ -446,6 +452,8 @@ def joint_ba_view_cached(cam: StereoCamera, layout: JointBaLayout,
     lo_hasr = _slice_i(buf, o["lo_hasr"], (LO,)) > 0
     lo_n = _slice_i(buf, o["lo_n"], (1,))[0]
 
+    obs_kfe = obs_w // P
+    obs_p = obs_w % P
     obs_k = obs_kfe // 8192
     obs_fe = obs_kfe % 8192
     slot = slots[obs_k]
@@ -479,8 +487,8 @@ def joint_ba_view_cached(cam: StereoCamera, layout: JointBaLayout,
         bcast(solved.base.points.reshape(-1)),
         bcast(X0n.reshape(-1)),
         bcast(dn.reshape(-1)),
-        keep_p.astype(jnp.int32),
-        keep_l.astype(jnp.int32),
+        pack_bits_dev(keep_p),
+        pack_bits_dev(keep_l),
     ])
     in_ba = tv_pidx >= 0
     pos = jnp.where(in_ba[:, None],
@@ -518,9 +526,108 @@ def unpack_kf_feats(buf: jnp.ndarray, n_kp: int) -> matching.FrameFeatures:
                                   desc=desc, valid=valid)
 
 
+def np_pack_bits_rows(a: np.ndarray) -> np.ndarray:
+    """(B, N) bool -> (B, ceil(N/32)) int32 little-endian bit words (host
+    side; inverse of unpack_bits_rows_dev)."""
+    b = np.packbits(a, axis=1, bitorder="little")
+    pad = (-b.shape[1]) % 4
+    if pad:
+        b = np.concatenate(
+            [b, np.zeros((b.shape[0], pad), np.uint8)], axis=1)
+    return b.view(np.int32)
+
+
+def unpack_bits_rows_dev(w: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(B, ceil(n/32)) int32 -> (B, n) bool on device."""
+    wu = jax.lax.bitcast_convert_type(w, jnp.uint32)
+    bits = (wu[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1
+    return bits.reshape(w.shape[0], -1)[:, :n] > 0
+
+
+def pack_bits_dev(b: jnp.ndarray) -> jnp.ndarray:
+    """(M,) bool -> (ceil(M/32),) int32 little-endian bit words (32x
+    smaller readback for the BA keep masks)."""
+    m = b.shape[0]
+    pad = (-m) % 32
+    if pad:
+        b = jnp.concatenate([b, jnp.zeros(pad, bool)])
+    w = (b.reshape(-1, 32).astype(jnp.uint32)
+         << jnp.arange(32, dtype=jnp.uint32)[None]).sum(
+             axis=-1, dtype=jnp.uint32)
+    return jax.lax.bitcast_convert_type(w, jnp.int32)
+
+
+def unpack_bits_np(w: np.ndarray, m: int) -> np.ndarray:
+    """Inverse of pack_bits_dev on host."""
+    bits = np.unpackbits(w.view(np.uint8), bitorder="little")
+    return bits[:m].astype(bool)
+
+
+def n_bit_words(m: int) -> int:
+    return -(-m // 32)
+
+
 @jax.jit
 def concat_flat(*arrs):
     """Flatten + concatenate int32 device buffers into ONE vector so the
     host fetches them in a single device_get (the tunneled relay charges a
     flat ~35 ms per transfer regardless of size)."""
     return jnp.concatenate([a.reshape(-1) for a in arrs])
+
+
+# ---------------------------------------------------------------------------
+# fused keyframe stage + windowed BA: ONE upload, ONE readback per keyframe
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cam", "slay", "blay", "n_levels",
+                                   "scale", "voc_L"))
+def fused_kf_ba_flat(cam: StereoCamera, slay: KfStageLayout, blay: BaLayout,
+                     cache: CacheArrays, buf: jnp.ndarray,
+                     inv_sigma2_lut: jnp.ndarray,
+                     voc_ch, voc_nd, voc_nw,
+                     n_levels: int, scale: float, voc_L: int):
+    """Triangulation + fusion (+BoW descent) AND the windowed local BA of
+    the same keyframe in ONE program over ONE uploaded buffer, flattened
+    for ONE readback. Separately dispatched, the keyframe path paid 4 relay
+    RPCs (~25-40 ms serialized channel time each: stage put, stage fetch,
+    BA put, BA fetch); fused it pays 2. The BA consumes the store state at
+    keyframe-creation time (this KF's triangulations join the NEXT window's
+    BA) — the deterministic analogue of the reference's mbAbortBA-
+    interrupted local BA under keyframe-burst load (LocalMapping.cc
+    InterruptBA; Optimizer.cc:473 pbStopFlag). voc_L=0 compiles the
+    no-vocabulary variant (loop closing disabled)."""
+    n_st = slay.offsets["_total"]
+    if voc_L:
+        flat, tri_bufs, fuse_bufs = kf_stage_words_flat(
+            cam, slay, cache, buf[:n_st], inv_sigma2_lut,
+            voc_ch, voc_nd, voc_nw, n_levels, scale, voc_L)
+    else:
+        tri_bufs, fuse_bufs = kf_stage_cached(
+            cam, slay, cache, buf[:n_st], inv_sigma2_lut, n_levels, scale)
+        flat = concat_flat(tri_bufs, fuse_bufs)
+    result, view = ba_view_cached(cam, blay, cache, buf[n_st:],
+                                  inv_sigma2_lut)
+    return jnp.concatenate([flat, result]), tri_bufs, fuse_bufs, view
+
+
+@partial(jax.jit, static_argnames=("cam", "slay", "jlay", "n_levels",
+                                   "scale", "voc_L", "gamma"))
+def fused_kf_joint_ba_flat(cam: StereoCamera, slay: KfStageLayout,
+                           jlay: JointBaLayout, cache: CacheArrays,
+                           buf: jnp.ndarray, inv_sigma2_lut: jnp.ndarray,
+                           voc_ch, voc_nd, voc_nw,
+                           n_levels: int, scale: float, voc_L: int,
+                           gamma: float):
+    """fused_kf_ba_flat with the joint point+line windowed BA."""
+    n_st = slay.offsets["_total"]
+    if voc_L:
+        flat, tri_bufs, fuse_bufs = kf_stage_words_flat(
+            cam, slay, cache, buf[:n_st], inv_sigma2_lut,
+            voc_ch, voc_nd, voc_nw, n_levels, scale, voc_L)
+    else:
+        tri_bufs, fuse_bufs = kf_stage_cached(
+            cam, slay, cache, buf[:n_st], inv_sigma2_lut, n_levels, scale)
+        flat = concat_flat(tri_bufs, fuse_bufs)
+    result, view = joint_ba_view_cached(cam, jlay, cache, buf[n_st:],
+                                        inv_sigma2_lut, gamma)
+    return jnp.concatenate([flat, result]), tri_bufs, fuse_bufs, view

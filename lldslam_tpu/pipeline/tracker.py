@@ -1082,6 +1082,26 @@ class StereoTracker:
                 break
             first = False
             t_g = _time.perf_counter()
+            if not fut.done():
+                # steal the ring-fetch wait: the main thread would idle for
+                # the fetch's 50-250 ms relay latency while already-landed
+                # mapper stage/BA readbacks sit unabsorbed (they otherwise
+                # wait for the next finalize burst and then force blocking
+                # absorbs at queue overflow, measured 18-60 ms/KF)
+                from concurrent.futures import TimeoutError as _FTimeout
+                while not fut.done():
+                    mp = self.mapper
+                    state = (len(mp._pending_kfq),
+                             mp._pending_ba is not None,
+                             len(self._pending_loops))
+                    self._step_kf_pipeline()
+                    progressed = state != (len(mp._pending_kfq),
+                                           mp._pending_ba is not None,
+                                           len(self._pending_loops))
+                    try:
+                        fut.result(timeout=0.002 if progressed else 0.02)
+                    except _FTimeout:
+                        pass
             batch, t_done = fut.result()
             m_last = recs[-1]["m"]
             m_last.t_get = _time.perf_counter() - t_g
@@ -1991,7 +2011,7 @@ class StereoTracker:
             # via absorbed_words below, BEFORE the previous pending loop
             # step is absorbed, so the words ride the staged path instead
             # of falling back to the host descent
-            self.mapper.dispatch_kf_stage(kf, voc=voc)
+            self.mapper.dispatch_kf_stage(kf, voc=voc, fuse_ba=True)
             self._adopt_view()
             self._match_loop_words()
             if self.loop_closer is not None:

@@ -429,7 +429,21 @@ class MapStore:
         self.kf_pt_ids[kf_id, feat_idx] = ids
         self.n_pt += m
         self._obs_dirty = True
-        self._update_point_geometry(ids)
+        # fresh points have exactly ONE observation (this kf/feat), so the
+        # geometry init needs no obs-index pass — _update_point_geometry
+        # here forced a full CSR rebuild per call (~13 ms x ~3 calls/KF,
+        # the top host cost in the round-5 profile) for the same result
+        T = self.kf_pose[kf_id]
+        center = -T[:3, :3].T @ T[:3, 3]
+        rays = positions - center
+        d0 = np.linalg.norm(rays, axis=-1)
+        self.pt_normal[ids] = (rays
+                               / np.maximum(d0, 1e-9)[:, None]).astype(
+                                   np.float32)
+        sf = np.asarray(self.cfg.scale_factors(), np.float32)
+        max_d = d0 * sf[self.kf_oct[kf_id, feat_idx]]
+        self.pt_max_dist[ids] = 1.2 * max_d
+        self.pt_min_dist[ids] = 0.8 * max_d / sf[-1]
         return ids
 
     # ------------------------------------------------------------------

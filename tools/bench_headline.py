@@ -42,11 +42,17 @@ def run_once(cfg, frames, n_warm, n_meas, w, ba_interval=1, loops=True):
     gc.collect()
     gc.disable()
     t0 = time.perf_counter()
+    walls = []
     for i, h in enumerate(staged):
+        tf = time.perf_counter()
         sys_.track_stereo(None, None, timestamp=(n_warm + i) * 0.1,
                           pair_dev=h)
+        walls.append(time.perf_counter() - tf)
+    tf = time.perf_counter()
     sys_.flush()
+    walls.append(time.perf_counter() - tf)
     gc.enable()
+    _log("   per-call ms: " + " ".join(f"{1e3 * w:.0f}" for w in walls))
     dt = time.perf_counter() - t0
     fps = n_meas / dt
     _log(f"== W={w}: {n_meas} frames in {dt:.2f}s -> {fps:.2f} fps ==")
