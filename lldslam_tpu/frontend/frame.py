@@ -121,12 +121,19 @@ def build_frame_pair(
     cfg: orb.OrbConfig = orb.OrbConfig(),
 ) -> FrameData:
     # accept uint8 frames: callers upload 1 byte/px through the (slow)
-    # host->device link and the cast runs on device
+    # host->device link and the cast runs on device. The pyramid is
+    # integer-quantized per level (the reference's pyramid IS uint8,
+    # ORBextractor.cc:1063-1084) and carried in bfloat16 — integers <= 255
+    # are exact in bf16, and every image-sized frontend op is
+    # HBM-bandwidth-bound on this device, so half the bytes is a direct
+    # win (reductions that need precision cast up internally: blur
+    # accumulates f32, IC-angle is exact int32, SAD/BRIEF sampling
+    # accumulates f32 in the Pallas kernel)
     stack = pair.astype(jnp.float32)                          # (2, H, W)
     # ONE pyramid program for both views, shared with the stereo SAD
     # refinement; extraction vmapped over the pair (the reference forks two
     # threads here, Frame.cc:101-104 — batching is the TPU equivalent)
-    pyr = image.build_pyramid(stack, cfg.n_levels, cfg.scale)
+    pyr = image.build_pyramid(stack, cfg.n_levels, cfg.scale, quantize=True)
     kp_both = orb.extract_stack_pyr(tuple(pyr), cfg)
     kp_l = jax.tree.map(lambda a: a[0], kp_both)
     kp_r = jax.tree.map(lambda a: a[1], kp_both)

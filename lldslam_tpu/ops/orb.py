@@ -398,7 +398,10 @@ def extract_stack_pyr(pyr, cfg: OrbConfig = OrbConfig()) -> Keypoints:
         score = jnp.where(inside[None], score, 0.0)
         xy_l, resp = jax.vmap(lambda s: _select_level_keypoints(s, n_l, cfg))(score)
         ang = jax.vmap(_ic_angle)(im_l, xy_l)
-        blur = jnp.round(jax.vmap(image.gaussian_blur)(im_l))
+        # blur accumulates in f32 (weights promote), rounds to integers
+        # <= 255, then stores back at the pyramid dtype (ints exact in bf16)
+        blur = jnp.round(jax.vmap(image.gaussian_blur)(im_l)) \
+            .astype(im_l.dtype)
         wp = ((w + 127) // 128) * 128
         if use_pallas_brief() and h >= psmp.ROWS and wp >= psmp.COLS:
             blur_p = jnp.pad(blur, ((0, 0), (0, 0), (0, wp - w)))

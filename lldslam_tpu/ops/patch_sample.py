@@ -46,7 +46,11 @@ def _kernel(meta_ref, iy_ref, ix_ref, img_ref, out_ref):
         v = meta_ref[j, 0]
         r0 = pl.multiple_of(meta_ref[j, 1], 8)
         c0 = pl.multiple_of(meta_ref[j, 2], 128)
-        patch = img_ref[v, pl.ds(r0, ROWS), pl.ds(c0, COLS)]  # (ROWS, COLS)
+        # the HBM->VMEM image block may be bf16 (integer intensities are
+        # exact); the matmul runs f32 — this Mosaic rejects bf16xbf16->f32
+        # tpu.matmul, and the cast is VMEM-local so it costs no HBM traffic
+        patch = img_ref[v, pl.ds(r0, ROWS), pl.ds(c0, COLS)] \
+            .astype(jnp.float32)                              # (ROWS, COLS)
         iy = iy_ref[j:j + 1, :].reshape(S, 1)                 # (S, 1)
         ix = ix_ref[j:j + 1, :].reshape(S, 1)
         R = (jax.lax.broadcasted_iota(jnp.int32, (S, ROWS), 1) == iy

@@ -305,7 +305,15 @@ def _terms_grid(cam, poses, points, point_valid, uvr_g, w_g, st_g, val_g,
     hub = res.huber_weight(chi2, delta_sq) if robust else 1.0
     w = w_g * hub * active
     W = w[..., None] * row_w                                # (K, P, 3)
-    return r, Jc, Jp, W, chi2
+    # current-state robust cost, folded into this pass (bit-identical to
+    # _total_cost_grid on the same state: raw chi2, no 1e6 gate) — the LM
+    # body otherwise pays a third full (K, P) residual pass per iteration
+    # just to evaluate c_old
+    act_cost = (val_g & point_valid[None, :] & (Xc[..., 2] > 0.05)) \
+        .astype(r.dtype)
+    rho = res.huber_rho(chi2_raw, delta_sq) if robust else chi2_raw
+    cost = jnp.sum(rho * act_cost)
+    return r, Jc, Jp, W, chi2, cost
 
 
 def _build_blocks_grid(r, Jc, Jp, W):
@@ -382,7 +390,7 @@ def ba_solve_grid(
     def body(i, state):
         poses, points, lam = state
         dscale = jnp.maximum(1.0, 64.0 * 0.5 ** i) if gnc else 1.0
-        r, Jc, Jp, W, _ = _terms_grid(
+        r, Jc, Jp, W, _, c_old = _terms_grid(
             cam, poses, points, problem.point_valid,
             uvr_g, w_g, st_g, val_g, robust, dscale)
         blocks = _build_blocks_grid(r, Jc, Jp, W)
@@ -391,8 +399,6 @@ def ba_solve_grid(
         free = (~problem.pose_fixed).astype(dc.dtype)
         poses_c = se3.exp(dc * free[:, None]) @ poses
         points_c = points + dp
-        c_old = _total_cost_grid(cam, poses, points, problem.point_valid,
-                                 uvr_g, w_g, st_g, val_g, robust, dscale)
         c_new = _total_cost_grid(cam, poses_c, points_c, problem.point_valid,
                                  uvr_g, w_g, st_g, val_g, robust, dscale)
         accept = c_new < c_old

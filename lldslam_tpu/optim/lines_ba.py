@@ -285,12 +285,12 @@ def joint_ba_solve(
         problem, lam = state
         dscale = jnp.maximum(1.0, 64.0 * 0.5 ** i) if gnc else 1.0
         # point system (grid)
-        rp, Jcp, Jp, Wp, _ = ba._terms_grid(
+        rp, Jcp, Jp, Wp, _, c_old_p = ba._terms_grid(
             cam, problem.base.poses, problem.base.points, point_valid,
             uvr_g, w_g, st_g, pval_g, robust, dscale)
         Hcc, bc, Hpp, bp, Bp = ba._build_blocks_grid(rp, Jcp, Jp, Wp)
         # line system (grid)
-        rl, Jcl, Jl, Wl, _ = _line_terms_grid(
+        rl, Jcl, Jl, Wl, chi2_l0 = _line_terms_grid(
             cam, problem.base.poses, problem.q, problem.alpha,
             problem.line_valid, lx1l, lx2l, lx1r, lx2r, loct, lhasr, lval_g,
             gamma, robust, dscale)
@@ -336,7 +336,13 @@ def joint_ba_solve(
 
         cand_base = ba._apply_update(problem.base, dc, dp)
         cand = _apply_line_update(problem._replace(base=cand_base), dl)
-        c_old = total_cost(problem, dscale)
+        # c_old folded out of the terms passes above (bit-identical to
+        # total_cost on the current state — see ba._terms_grid)
+        delta_sq_l = (res.CHI2_STEREO * gamma * gamma) * dscale
+        lc_old = jnp.sum(res.huber_rho(chi2_l0, delta_sq_l)
+                         * (chi2_l0 > 0).astype(rl.dtype)) if robust \
+            else jnp.sum(chi2_l0)
+        c_old = c_old_p + lc_old
         c_new = total_cost(cand, dscale)
         accept = c_new < c_old
         problem = jax.tree.map(lambda a, b: jnp.where(accept, b, a),

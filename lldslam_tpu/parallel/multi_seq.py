@@ -272,7 +272,11 @@ class PipelinedMultiSequenceDriver(MultiSequenceDriver):
         n_kp = tr0.store.n_kp
         L = (23 + 3 * n_kp + -(-n_kp // 32)
              + -(-len(tr0._view_pid) // 32))
-        stk["ring"] = jnp.zeros((len(trs), self.W, L), jnp.int32)
+        self._row_len = L
+        # flat per-sequence ring (W*L,) to match the solo chained step's
+        # flat-ring layout (no snapshot slots here: n_snap=0 — keyframe
+        # snapshots fetch from the batched frame build instead)
+        stk["ring"] = jnp.zeros((len(trs), self.W * L), jnp.int32)
         self._stk = stk
         self._slot = 0
         self._members = list(members)
@@ -369,7 +373,7 @@ class PipelinedMultiSequenceDriver(MultiSequenceDriver):
                     last_prov=stk["last_prov"])
         (packed, stk["last_ptpos"], stk["last_haspt"], stk["last_ismap"],
          stk["last_prov"], stk["T"], stk["vel"], stk["ring"], stk["since"],
-         stk["scal"]) = out
+         stk["scal"], _) = out
         t0 = _mk("dispatch", t0)
         stk["last_feats"] = fdb.feats
         rec = dict(members=list(members), fdb=fdb, snap_b=snap_b, prev=prev,
@@ -411,7 +415,9 @@ class PipelinedMultiSequenceDriver(MultiSequenceDriver):
         for rec in recs:
             for bi, i in enumerate(rec["members"]):
                 tr = self.trackers[i]
-                row = batch[bi, rec["ring_slot"]]
+                L = self._row_len
+                row = batch[bi, rec["ring_slot"] * L:
+                            (rec["ring_slot"] + 1) * L]
                 m = TrackMetrics(frame_id=rec["fids"][bi])
                 fdb, snap_b, prev = rec["fdb"], rec["snap_b"], rec["prev"]
                 # fd/prev slices resolve LAZILY — they are only touched on

@@ -112,6 +112,11 @@ class LocalMapper:
         # get pays flat transfer latency instead of compute wait
         self._ba_age = 0
         self._kf_age = 0
+        # frame id of the last keyframe whose local BA actually ran (the
+        # load-adaptive cadence gate in _prepare_ba); the tracker enables
+        # the gate in pipelined mode only
+        self._last_ba_frame = -(1 << 30)
+        self.adaptive_ba_cadence = False
         # when set, the tracking view always pads to this capacity (the
         # batched multi-sequence driver needs one shape across sequences)
         self.fixed_tv_cap: int | None = None
@@ -380,20 +385,29 @@ class LocalMapper:
             voc_L = voc.L if voc is not None else 0
 
             def io_task():
-                buf = jax.device_put(cat_np)
-                if ba_prep["kind"] == "joint":
-                    flat_d, tri_bufs, fuse_bufs, view = \
-                        mapper_fast.fused_kf_joint_ba_flat(
-                            self.cam, lay, ba_prep["lay"], self.cache.arrays,
-                            buf, self._lut_dev, *voc_args,
-                            s.cfg.n_levels, s.cfg.scale, voc_L,
-                            float(self.cfg.line.gamma))
-                else:
-                    flat_d, tri_bufs, fuse_bufs, view = \
-                        mapper_fast.fused_kf_ba_flat(
-                            self.cam, lay, ba_prep["lay"], self.cache.arrays,
-                            buf, self._lut_dev, *voc_args,
-                            s.cfg.n_levels, s.cfg.scale, voc_L)
+                try:
+                    buf = jax.device_put(cat_np)
+                    if ba_prep["kind"] == "joint":
+                        flat_d, tri_bufs, fuse_bufs, view = \
+                            mapper_fast.fused_kf_joint_ba_flat(
+                                self.cam, lay, ba_prep["lay"],
+                                self.cache.arrays, buf, self._lut_dev,
+                                *voc_args, s.cfg.n_levels, s.cfg.scale,
+                                voc_L, float(self.cfg.line.gamma))
+                    else:
+                        flat_d, tri_bufs, fuse_bufs, view = \
+                            mapper_fast.fused_kf_ba_flat(
+                                self.cam, lay, ba_prep["lay"],
+                                self.cache.arrays, buf, self._lut_dev,
+                                *voc_args, s.cfg.n_levels, s.cfg.scale,
+                                voc_L)
+                except BaseException as e:
+                    # resolve the view future even on dispatch failure —
+                    # a forever-pending future would silently stop the
+                    # tracker from ever adopting a post-BA view again (and
+                    # deadlock the synchronous path's .result())
+                    view_fut.set_exception(e)
+                    raise
                 view_fut.set_result((view, vp))
                 flat = np.asarray(flat_d)
                 return flat, tuple(tri_bufs.shape), tuple(fuse_bufs.shape)
@@ -613,6 +627,24 @@ class LocalMapper:
         if s.n_kf < 2 or self._kf_count % self.ba_interval != 0:
             self.cull_keyframes(kf_id)
             return None
+        # load-adaptive BA cadence (the completion side of the reference's
+        # mbAbortBA semantics), PIPELINED mode only: local BA takes ~2-3
+        # frame-times of device queue, so under burst keyframe cadence the
+        # reference would be interrupted by the next KF before finishing
+        # (LocalMapping.cc:InterruptBA) — run BA only when >= 2 min-gap
+        # frames of motion separate it from the previous completed BA. At
+        # relaxed cadence (KF gap > twice the damper) every keyframe gets
+        # its BA, exactly like an uninterrupted reference mapper. The
+        # synchronous path never skips: a sequential reference run has an
+        # idle mapper at every keyframe.
+        fid = int(s.kf_frame_id[kf_id])
+        if self.adaptive_ba_cadence and s.n_kf > 4 \
+                and fid - self._last_ba_frame < 6:
+            self.stage_times["ba_cadence_skipped"] = self.stage_times.get(
+                "ba_cadence_skipped", 0) + 1
+            self.cull_keyframes(kf_id)
+            return None
+        self._last_ba_frame = fid
         meta = self._build_problem_np(kf_id)
         if meta is None:
             self.cull_keyframes(kf_id)
@@ -677,19 +709,28 @@ class LocalMapper:
             jlay = prep["lay"]
 
             def io_task():
-                buf = jax.device_put(buf_np)
-                result, view = mapper_fast.joint_ba_view_cached(
-                    self.cam, jlay, self.cache.arrays, buf, self._lut_dev,
-                    float(self.cfg.line.gamma))
+                try:
+                    buf = jax.device_put(buf_np)
+                    result, view = mapper_fast.joint_ba_view_cached(
+                        self.cam, jlay, self.cache.arrays, buf,
+                        self._lut_dev, float(self.cfg.line.gamma))
+                except BaseException as e:
+                    view_fut.set_exception(e)   # see fused io_task
+                    raise
                 view_fut.set_result((view, vp))
                 return np.asarray(result)
         else:
             lay = prep["lay"]
 
             def io_task():
-                buf = jax.device_put(buf_np)
-                result, view = mapper_fast.ba_view_cached(
-                    self.cam, lay, self.cache.arrays, buf, self._lut_dev)
+                try:
+                    buf = jax.device_put(buf_np)
+                    result, view = mapper_fast.ba_view_cached(
+                        self.cam, lay, self.cache.arrays, buf,
+                        self._lut_dev)
+                except BaseException as e:
+                    view_fut.set_exception(e)
+                    raise
                 view_fut.set_result((view, vp))
                 return np.asarray(result)
 

@@ -136,7 +136,8 @@ def _kf_decision(packed, since_kf, kf_scal, min_gap: int, max_gap: int):
 
 
 @partial(jax.jit, static_argnames=("cam", "n_levels", "scale", "min_mm",
-                                   "close_depth", "min_gap", "max_gap"))
+                                   "close_depth", "min_gap", "max_gap",
+                                   "n_snap"))
 def _track_step_chained(
     cam: StereoCamera,
     T_prev: jnp.ndarray,
@@ -161,6 +162,8 @@ def _track_step_chained(
     min_gap: int,
     max_gap: int,
     snap: jnp.ndarray | None = None,
+    snap_cnt: jnp.ndarray | None = None,
+    n_snap: int = 0,
 ):
     """Pipelined variant: the motion prediction T_pred = vel @ T_prev and the
     velocity update happen ON DEVICE, so frame i+1 can be dispatched before
@@ -187,13 +190,22 @@ def _track_step_chained(
     prov2 = _prov_update(decide, prov_parts)
     packed = jnp.concatenate([packed[:22], decide[None], packed[22:]])
     vel2 = T2 @ jnp.linalg.inv(T_prev)
-    # the packed frame snapshot rides the ring row (fetched with the window)
-    # so keyframe creation needs NO separate snapshot RPC — each fetch RPC
-    # through the relay costs ~25-40 ms of serialized channel time
-    row = packed if snap is None else jnp.concatenate([packed, snap])
-    ring = jax.lax.dynamic_update_slice(ring, row[None], (slot, 0))
+    # flat ring layout [W rows of packed | n_snap snapshot slots]: the
+    # frame snapshot is stashed into a KF slot ONLY when the on-device
+    # decision fires (cnt advances on decide), so the window fetch carries
+    # W small rows + ~W/min_gap snapshots instead of W full snapshots —
+    # the snapshot is 83% of a row's bytes and the relay link is
+    # ~22 ms latency + bytes/30 MB/s (measured round 5)
+    L = packed.shape[0]
+    ring = jax.lax.dynamic_update_slice(ring, packed, (slot * L,))
+    cnt2 = snap_cnt
+    if snap is not None and n_snap > 0:
+        off = ring.shape[0] - n_snap * snap.shape[0] \
+            + (snap_cnt % n_snap) * snap.shape[0]
+        ring = jax.lax.dynamic_update_slice(ring, snap, (off,))
+        cnt2 = snap_cnt + decide
     return (packed, ptpos2, haspt2, ismap2, prov2, T2, vel2, ring, since2,
-            scal2)
+            scal2, cnt2)
 
 
 @partial(jax.jit, static_argnames=("cam", "n_levels", "scale", "min_mm",
@@ -355,7 +367,7 @@ def _track_core(
 
 @partial(jax.jit, static_argnames=("cam", "n_levels", "scale", "min_mm",
                                    "close_depth", "gamma", "md_thr",
-                                   "min_gap", "max_gap"))
+                                   "min_gap", "max_gap", "n_snap"))
 def _track_step_chained_lines(
     cam: StereoCamera,
     T_prev: jnp.ndarray,
@@ -385,6 +397,8 @@ def _track_step_chained_lines(
     max_gap: int,
     snap: jnp.ndarray | None = None,
     lines_snap: jnp.ndarray | None = None,
+    snap_cnt: jnp.ndarray | None = None,
+    n_snap: int = 0,
 ):
     """Pipelined variant WITH the line pipeline chained in: point tracking,
     then line association + joint point/line pose refinement
@@ -417,15 +431,20 @@ def _track_step_chained_lines(
         det2ln.astype(jnp.int32),
         n_line.astype(jnp.int32)[None],
     ])
-    # point + line snapshots ride the ring row (see _track_step_chained)
-    row = packed
-    if snap is not None:
-        row = jnp.concatenate([row, snap] + ([lines_snap]
-                                             if lines_snap is not None
-                                             else []))
-    ring = jax.lax.dynamic_update_slice(ring, row[None], (slot, 0))
+    # point + line snapshots go to the flat ring's decide-gated KF slots
+    # (see _track_step_chained)
+    L = packed.shape[0]
+    ring = jax.lax.dynamic_update_slice(ring, packed, (slot * L,))
+    cnt2 = snap_cnt
+    if snap is not None and n_snap > 0:
+        srow = jnp.concatenate([snap] + ([lines_snap]
+                                         if lines_snap is not None else []))
+        off = ring.shape[0] - n_snap * srow.shape[0] \
+            + (snap_cnt % n_snap) * srow.shape[0]
+        ring = jax.lax.dynamic_update_slice(ring, srow, (off,))
+        cnt2 = snap_cnt + decide
     return (packed, ptpos2, haspt2, ismap2, prov2, T3, vel2, ring, since2,
-            scal2)
+            scal2, cnt2)
 
 
 @partial(jax.jit, static_argnames=("cam", "gamma", "md_thr"))
@@ -621,6 +640,8 @@ class StereoTracker:
         self._dev_since = None
         self._dev_refm = None
         self._refm_fut = None
+        self._dev_snap_cnt = None
+        self._snap_cnt_host = 0
         # completed ring windows whose device_get runs on the tracker IO
         # pool: deque of (recs, future) — finalized in order when each fetch
         # lands, so the ~140 ms flat relay readback never blocks the
@@ -706,6 +727,8 @@ class StereoTracker:
             # packed length, forcing a ring flush + ~10 s mid-sequence
             # recompile; one fixed shape keeps the pipeline warm
             self.mapper.fixed_tv_cap = 4096
+        if pipeline:
+            self.mapper.adaptive_ba_cadence = True
         # loop closing: vocabulary supplied up front, or trained from the
         # first keyframe's descriptors at initialization (System.cc:70 loads
         # ORBvoc.txt; loop/bow.py reads that format too)
@@ -933,6 +956,8 @@ class StereoTracker:
             self._dev_refm = jnp.asarray(
                 np.float32([self._ref_matches, self._kappa]))
             self._refm_fut = None
+            self._dev_snap_cnt = jnp.zeros((), jnp.int32)
+            self._snap_cnt_host = 0
             self._resync = False
         if self._refm_fut is not None and self._refm_fut.done():
             # the post-KF reference match count arrived: swap it into the
@@ -959,27 +984,43 @@ class StereoTracker:
              + -(-len(self._view_pid) // 32))
         if with_lines:
             L += self.store.n_ln_det + 1
-        # each row also carries the frame's packed feature snapshot (and the
-        # packed frame lines): keyframe creation reads them from the window
-        # fetch instead of paying a per-KF snapshot RPC (~25-80 ms each of
-        # serialized relay time, measured round 5)
-        Ls = 15 * n_kp_
-        Lls = 0
-        if with_lines:
-            ld_ = self.store.n_ln_det
-            Lls = (18 + self.store.ln_desc.shape[1]) * ld_
-        Lt = L + Ls + Lls
-        if self._dev_ring is None or self._dev_ring.shape != (W, Lt):
-            if self._pending or self._ring_inflight:
-                ret = self.flush()
-            self._dev_ring = jnp.zeros((W, Lt), jnp.int32)
-            self._ring_slot = 0
         # min gap 3: the deterministic analogue of the reference's
         # LocalMapping-idle damper (NeedNewKeyFrame c1b, Tracking.cc:1282 —
         # insertion waits for the mapper unless interrupted); our staged
         # mapper is busy for ~3 finalized frames after each keyframe
         min_gap = max(self.cfg.tracking.min_frames_between_kf, 3)
         max_gap = self.cfg.tracking.max_frames_between_kf
+        if self.localization_only:
+            # localization mode creates no keyframes (Tracking.cc:772): force
+            # the on-device decision off so no provisional identities are
+            # seeded against a stale _prov_kf_pid table and the device/host
+            # snap counters stay aligned (the host suppresses KF creation,
+            # so an on-device fire would desync both)
+            min_gap = max_gap = 1 << 28
+        # the flat ring is [W packed rows | S snapshot slots]: snapshots
+        # (83% of a row's bytes) are stashed ONLY when the on-device KF
+        # decision fires, so the window fetch pays for ~W/min_gap of them
+        # instead of W. S bounds the KFs one window can hold (min_gap
+        # spacing); ring immutability across steps makes the in-flight
+        # window's version safe from later overwrites.
+        Ls = 15 * n_kp_
+        Lls = 0
+        if with_lines:
+            # must EXACTLY match _pack_frame_lines: 4 endpoint pairs (8) +
+            # has_stereo + octave + valid (3) + X0 + d (6) + desc (D)
+            ld_ = self.store.n_ln_det
+            Lls = (17 + self.store.ln_desc.shape[1]) * ld_
+        Lsnap = Ls + Lls
+        S = (W - 1) // min_gap + 2
+        Lt = W * L + S * Lsnap
+        layout = (W, L, S, Ls, Lls)
+        if self._dev_ring is None or self._dev_ring.shape != (Lt,):
+            if self._pending or self._ring_inflight:
+                ret = self.flush()
+            self._dev_ring = jnp.zeros(Lt, jnp.int32)
+            self._ring_slot = 0
+            self._dev_snap_cnt = jnp.zeros((), jnp.int32)
+            self._snap_cnt_host = 0
         from ..frontend.frame import pack_frame
         snap_dev = pack_frame(fd)
         if with_lines:
@@ -995,7 +1036,8 @@ class StereoTracker:
                 self.cfg.tracking.min_motion_matches,
                 float(self.cfg.close_depth), float(self.cfg.line.gamma),
                 float(self._md_gate), min_gap, max_gap,
-                snap=snap_dev, lines_snap=lines_snap_dev)
+                snap=snap_dev, lines_snap=lines_snap_dev,
+                snap_cnt=self._dev_snap_cnt, n_snap=S)
         else:
             out = _track_step_chained(
                 self.cam, self._dev_T, self._dev_vel, self._last_feats,
@@ -1006,7 +1048,7 @@ class StereoTracker:
                 self.orb.n_levels, self.orb.scale,
                 self.cfg.tracking.min_motion_matches,
                 float(self.cfg.close_depth), min_gap, max_gap,
-                snap=snap_dev)
+                snap=snap_dev, snap_cnt=self._dev_snap_cnt, n_snap=S)
         # NOTE: no copy_to_host_async here - through the axon relay it is a
         # SYNCHRONOUS full round trip (~70-170 ms measured), not an async
         # enqueue; issuing it per frame serialized the whole pipeline
@@ -1016,13 +1058,14 @@ class StereoTracker:
                    view_pid=self._view_pid,
                    view_cap=len(self._view_pid), prev=prev,
                    ring_slot=self._ring_slot, ring_after=out[7],
-                   snap_off=L, snap_len=Ls)
+                   layout=layout)
         if with_lines:
             rec["fl"] = self._cur_fl
             rec["line_view_ids"] = self._line_view_ids
         self._dev_T, self._dev_vel = out[5], out[6]
         self._dev_ring = out[7]
         self._dev_since, self._dev_refm = out[8], out[9]
+        self._dev_snap_cnt = out[10]
         self._ring_slot += 1
         self._last_feats = fd.feats
         self._last_ptpos, self._last_haspt = out[1], out[2]
@@ -1110,28 +1153,37 @@ class StereoTracker:
             self._ring_inflight.popleft()
             self._attach_snaps(recs, batch)
             for r in recs:
-                ret = self._finalize_rec(r, packed_np=batch[r["ring_slot"]])
+                W, L, _, _, _ = r["layout"]
+                s = r["ring_slot"]
+                ret = self._finalize_rec(r, packed_np=batch[s * L:
+                                                            (s + 1) * L])
             if self._resync:
                 break
         return ret
 
     def _attach_snaps(self, recs, batch):
         """Unpack the keyframe feature snapshots of a fetched window's
-        KF-flagged rows. The snapshots RIDE the ring rows (written by the
-        chained step), so this is a pure host-side slice+view — the round-4
-        design paid a separate ~25-80 ms relay RPC per keyframe here."""
+        KF-flagged rows. The snapshots sit in the flat ring's decide-gated
+        KF slots (written by the chained step when the on-device decision
+        fired), so this is a pure host-side slice — the round-4 design paid
+        a separate ~25-80 ms relay RPC per keyframe here, and the first
+        round-5 design shipped a full snapshot with EVERY row (5x the
+        window bytes at min_gap 3). The host-side counter mirrors the
+        device snap_cnt: both advance once per fired decision, in finalize
+        order, and both reset together on resync."""
         if self.localization_only:
             return
         from ..frontend.frame import unpack_frame_np
         n_kp = self.store.n_kp
         for r in recs:
-            row = batch[r["ring_slot"]]
-            if row[22] > 0 and r.get("snap_len"):
-                o = r["snap_off"]
-                r["snap_np"] = unpack_frame_np(row[o:o + r["snap_len"]],
-                                               n_kp)
+            W, L, S, Ls, Lls = r["layout"]
+            row = batch[r["ring_slot"] * L:(r["ring_slot"] + 1) * L]
+            if row[22] > 0 and Ls:
+                o = W * L + (self._snap_cnt_host % S) * (Ls + Lls)
+                self._snap_cnt_host += 1
+                r["snap_np"] = unpack_frame_np(batch[o:o + Ls], n_kp)
                 if "fl" in r:
-                    r["lines_snap_np"] = row[o + r["snap_len"]:]
+                    r["lines_snap_np"] = batch[o + Ls:o + Ls + Lls]
 
     def flush(self):
         """Finalize all in-flight pipelined frames (one ring fetch) and
@@ -1153,7 +1205,10 @@ class StereoTracker:
             if not self._resync:
                 self._attach_snaps(recs, batch)
             for rec in recs:
-                r = self._finalize_rec(rec, packed_np=batch[rec["ring_slot"]])
+                W, L, _, _, _ = rec["layout"]
+                s = rec["ring_slot"]
+                r = self._finalize_rec(rec,
+                                       packed_np=batch[s * L:(s + 1) * L])
                 if r is not None:
                     ret = r
         self._ring_slot = 0
@@ -1164,6 +1219,10 @@ class StereoTracker:
         """Absorb pending staged mapper/loop work synchronously."""
         mp = self.mapper
         mp.flush()
+        if self.enable_lines:
+            # the last keyframe window's staged line retriangulation would
+            # otherwise be dropped from the output map at sequence end
+            self.store.absorb_retriangulate()
         self._adopt_view()
         self._match_loop_words()
         while self._pending_loops:
@@ -1266,10 +1325,9 @@ class StereoTracker:
             return self.T_cw.copy(), m
 
         if packed_np is not None:
-            # ring rows carry [packed | snap | lines_snap]; only the packed
-            # section is frame telemetry (snaps split off in _attach_snaps)
-            packed = (packed_np[:rec["snap_off"]]
-                      if rec.get("snap_len") else packed_np)
+            # callers hand the already-sliced packed row (snapshots live in
+            # the flat ring's KF slots, split off in _attach_snaps)
+            packed = packed_np
         else:
             t_g = _time.perf_counter()
             packed = jax.device_get(rec["out"][0])
@@ -1706,6 +1764,16 @@ class StereoTracker:
         self.mapper = local_mapping.LocalMapper(
             self.store, self.cfg, cache=self.kf_cache,
             **self._mapper_kwargs)
+        if self.pipeline:
+            # re-apply the pipelined-mode wiring the constructor set on the
+            # ORIGINAL store/mapper: staged line retriangulation rides the
+            # tracker IO pool, the view capacity stays pinned, and the BA
+            # cadence gate stays load-adaptive
+            if self._tr_io is not None:
+                self.store.retri_io = self._tr_io
+            if self.mapper.fixed_tv_cap is None:
+                self.mapper.fixed_tv_cap = 4096
+            self.mapper.adaptive_ba_cadence = True
         self._pending_loops.clear()
         if self.loop_closer is not None:
             from ..loop.closing import LoopCloser

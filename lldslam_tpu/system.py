@@ -138,10 +138,19 @@ class System:
     # -- mode switches + lifecycle (System.cc:121-161, 279-325) ------------
     def activate_localization_mode(self) -> None:
         """Track against the frozen map; no keyframes or map growth
-        (System::ActivateLocalizationMode)."""
+        (System::ActivateLocalizationMode). Drains the pipelined chain
+        first: in-flight frames were dispatched with the mapping-phase
+        on-device KF decision, and the mode flips the decision gates (and
+        provisional-identity seeding) for every subsequent dispatch."""
+        if getattr(self.tracker, "pipeline", False):
+            self.tracker.flush()
+            self.tracker._resync = True
         self.tracker.localization_only = True
 
     def deactivate_localization_mode(self) -> None:
+        if getattr(self.tracker, "pipeline", False):
+            self.tracker.flush()
+            self.tracker._resync = True
         self.tracker.localization_only = False
 
     def reset(self) -> None:

@@ -77,7 +77,7 @@ def main():
     W = tr.readback_window
     L = 23 + 4 * tr.store.n_kp + len(tr._view_pid)
     ring = tr._dev_ring if tr._dev_ring is not None \
-        else jnp.zeros((W, L), jnp.int32)
+        else jnp.zeros(W * L, jnp.int32)
 
     def chained(fd):
         return _track_step_chained(
