@@ -262,41 +262,52 @@ def main():
                            bf=386.1448, fps=10.0, width=1241, height=376)
     cfg = SlamConfig(camera=cam_cfg, orb=OrbConfig(n_features=2000),
                      tracking=TrackingConfig(min_init_points=100))
-    sys_ = System(cfg, pipeline=True)
-
     n_warm, n_meas = 6, 40
     _log("bench: generating sequence...")
     frames = _make_sequence(cam_cfg.stereo_camera(), n_warm + n_meas)
-    _log("bench: pre-compiling device programs...")
-    sys_.warmup()
-    _log("bench: warmup (first-compile)...")
-    for i in range(n_warm):
-        t = time.perf_counter()
-        sys_.track_stereo(*frames[i], timestamp=i * 0.1)
-        _log(f"bench: warm frame {i}: {time.perf_counter() - t:.1f}s")
 
-    # --- headline: device-staged frames (see module docstring) ---
-    staged = [sys_.tracker.stage_pair(l, r)
-              for l, r in frames[n_warm:n_warm + n_meas]]
-    import jax
-    jax.block_until_ready(staged[-1])
-    m0 = len(sys_.tracker.metrics)
-    kt0 = len(sys_.tracker.kf_timings)
-    t_snap = _snap_times(sys_)
-    import gc
-    gc.collect()
-    gc.disable()
-    t0 = time.perf_counter()
-    for i, h in enumerate(staged):
-        sys_.track_stereo(None, None, timestamp=(n_warm + i) * 0.1,
-                          pair_dev=h)
-    sys_.flush()
-    gc.enable()
-    dt = time.perf_counter() - t0
-    fps = n_meas / dt
-    _log(f"bench: {n_meas} frames in {dt:.2f}s (device-staged)")
-    _report(sys_, sys_.tracker.metrics[m0:], "staged", kt0=kt0,
-            t_snap=t_snap)
+    # --- headline: device-staged frames, MEDIAN OF 3 runs (single runs
+    # vary ~±15% with relay-channel timing jitter — a round-4 commit and
+    # its same-day driver artifact disagreed by 9%) ---
+    def _headline_once(rep: int) -> float:
+        sys_ = System(cfg, pipeline=True)
+        if rep == 0:
+            _log("bench: pre-compiling device programs...")
+        sys_.warmup()
+        for i in range(n_warm):
+            t = time.perf_counter()
+            sys_.track_stereo(*frames[i], timestamp=i * 0.1)
+            if rep == 0:
+                _log(f"bench: warm frame {i}: {time.perf_counter() - t:.1f}s")
+        staged = [sys_.tracker.stage_pair(l, r)
+                  for l, r in frames[n_warm:n_warm + n_meas]]
+        import jax
+        jax.block_until_ready(staged[-1])
+        m0 = len(sys_.tracker.metrics)
+        kt0 = len(sys_.tracker.kf_timings)
+        t_snap = _snap_times(sys_)
+        import gc
+        gc.collect()
+        gc.disable()
+        t0 = time.perf_counter()
+        for i, h in enumerate(staged):
+            sys_.track_stereo(None, None, timestamp=(n_warm + i) * 0.1,
+                              pair_dev=h)
+        sys_.flush()
+        gc.enable()
+        dt = time.perf_counter() - t0
+        f = n_meas / dt
+        _log(f"bench: {n_meas} frames in {dt:.2f}s (device-staged, rep "
+             f"{rep})")
+        if rep == 0:
+            _report(sys_, sys_.tracker.metrics[m0:], "staged", kt0=kt0,
+                    t_snap=t_snap)
+        return f
+
+    reps = [_headline_once(r) for r in range(3)]
+    fps = float(np.median(reps))
+    _log("bench: headline reps " + " ".join(f"{r:.2f}" for r in reps)
+         + f" -> median {fps:.2f} (spread {max(reps) - min(reps):.2f})")
 
     # --- ingest-included: frames pushed through the link inside the timed
     # loop, prefetch depth 4 ---
@@ -332,6 +343,7 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 10.0, 2),
+        "headline_reps": [round(r, 2) for r in reps],
         "lines_fps": round(fps3, 2),
         "ingest_fps": round(fps2, 2),
         "multi_seq_fps_agg": round(fps4, 2),
@@ -386,13 +398,27 @@ def _bench_multi_seq(n_seq: int = 13, n_meas: int = 14) -> float:
     _log(f"bench: multi-seq solo baseline {solo_fps:.2f} fps "
          f"(same workload, pipelined, device-staged)")
 
+    # warm a throwaway driver over a FULL pass first: keyframe/BA programs
+    # compile lazily as the maps grow (p-bucket jumps mid-sequence), and a
+    # single ~20-40 s remote compile landing inside the timed loop used to
+    # dominate the whole measurement (the round-4 "build=1892ms" phase was
+    # mostly this)
+    _log("bench: multi-seq warmup (full compile pass)...")
+    drv0 = PipelinedMultiSequenceDriver(cfg, n_seq, enable_loops=False)
+    staged = [[drv0.trackers[i].stage_pair(*seqs[i][f])
+               for i in range(n_seq)] for f in range(n_warm + n_meas)]
+    for f in range(n_warm + n_meas):
+        drv0.process([None] * n_seq, [f * 0.1] * n_seq,
+                     pair_devs=staged[f])
+    drv0.flush()
+
     drv = PipelinedMultiSequenceDriver(cfg, n_seq, enable_loops=False)
-    _log("bench: multi-seq warmup...")
     staged = [[drv.trackers[i].stage_pair(*seqs[i][f])
                for i in range(n_seq)] for f in range(n_warm + n_meas)]
     for f in range(n_warm):
         drv.process([None] * n_seq, [f * 0.1] * n_seq,
                     pair_devs=staged[f])
+    drv.step_times = {}
     t0 = time.perf_counter()
     for f in range(n_warm, n_warm + n_meas):
         drv.process([None] * n_seq, [f * 0.1] * n_seq,
@@ -406,8 +432,8 @@ def _bench_multi_seq(n_seq: int = 13, n_meas: int = 14) -> float:
          f"{fps / max(solo_fps, 1e-9):.2f}x solo); states {states}")
     st = getattr(drv, "step_times", None)
     if st:
-        _log("bench: multi-seq step phases " + " ".join(
-            f"{k}={1e3 * v / (n_warm + n_meas):.0f}ms" for k, v in st.items()))
+        _log("bench: multi-seq step phases (per measured frame) " + " ".join(
+            f"{k}={1e3 * v / n_meas:.0f}ms" for k, v in st.items()))
     _log(f"bench: multi-seq rebuilds {getattr(drv, 'n_rebuilds', 0)}")
     return fps
 

@@ -229,13 +229,32 @@ class PipelinedMultiSequenceDriver(MultiSequenceDriver):
     def _flush_batch(self, keep=()):
         """Finalize all in-flight batched frames. Members NOT in `keep`
         leave the batch and must reseed their own device chain; kept
-        members stay batch-eligible (re-stacked from host state)."""
+        members stay batch-eligible (re-stacked from the LAST DISPATCHED
+        chain state below — their per-tracker _last_* fields are only
+        maintained on weak/resync paths, so without the write-back a kept
+        member would re-enter the next stack matching against a frames-old
+        'last frame' while _last_kp2pt reflects the newest finalized frame,
+        silently mis-resolving kp2last into wrong global point ids)."""
         if self._inflight is not None:
             self._absorb(block=True)
         while self._pending:
             recs, self._pending = self._pending, []
             batch = np.asarray(recs[-1]["ring_after"])
             self._finalize_window(recs, batch)
+        stk, members = self._stk, self._members
+        if stk is not None:
+            for bi, i in enumerate(members):
+                if i in keep and not self.trackers[i]._resync:
+                    # a member that went weak DURING the flush re-tracked
+                    # synchronously and restored its own chain state —
+                    # never clobber that with the poisoned batch rows
+                    tr = self.trackers[i]
+                    tr._last_feats = jax.tree.map(lambda a: a[bi],
+                                                  stk["last_feats"])
+                    tr._last_ptpos = stk["last_ptpos"][bi]
+                    tr._last_haspt = stk["last_haspt"][bi]
+                    tr._last_ismap = stk["last_ismap"][bi]
+                    tr._last_prov = stk["last_prov"][bi]
         self._slot = 0
         self._stk = None
         self.n_rebuilds = getattr(self, "n_rebuilds", 0) + 1
@@ -289,8 +308,13 @@ class PipelinedMultiSequenceDriver(MultiSequenceDriver):
         """Track one frame of every sequence (batched + pipelined). Pass
         `pair_devs` (pre-staged (2, H, W) device arrays) to keep host
         ingest out of the loop, as the solo staged bench does."""
+        import time as _time
+        tt = self.step_times = getattr(self, "step_times", {})
+        _t = _time.perf_counter()
         S = self.n_seq
         self._absorb(block=False)
+        tt["absorb0"] = tt.get("absorb0", 0.0) + (_time.perf_counter() - _t)
+        _t = _time.perf_counter()
         live = [i for i in range(S)
                 if (pairs[i] is not None
                     or (pair_devs is not None and pair_devs[i] is not None))]
@@ -307,12 +331,14 @@ class PipelinedMultiSequenceDriver(MultiSequenceDriver):
                          and not self.trackers[i]._resync]
             if len(batchable) >= 2:
                 self._build_stack(batchable)
+        tt["rebuild"] = tt.get("rebuild", 0.0) + (_time.perf_counter() - _t)
         results: list = [None] * S
         in_batch = set(self._members)
 
         if self._members:
             self._step_batch(pairs, timestamps, pair_devs, results)
 
+        _t = _time.perf_counter()
         for i in live:
             if i not in in_batch:
                 tr = self.trackers[i]
@@ -322,6 +348,7 @@ class PipelinedMultiSequenceDriver(MultiSequenceDriver):
                 else:
                     results[i] = tr.process(pairs[i][0], pairs[i][1],
                                             timestamps[i])
+        tt["solo"] = tt.get("solo", 0.0) + (_time.perf_counter() - _t)
         return results
 
     def _step_batch(self, pairs, timestamps, pair_devs, results):

@@ -156,3 +156,52 @@ def test_pipelined_driver_matches_solo():
         assert drv.trackers[s].state.name == "OK"
         dp = np.linalg.norm(T[:, :3, 3] - solo_T[s][:, :3, 3], axis=-1)
         assert dp.max() < 0.35, (s, dp.max())
+
+
+@pytest.mark.slow
+def test_pipelined_driver_membership_churn():
+    """A sequence ENDING mid-run forces _flush_batch(keep=survivors) and a
+    re-stack. Kept members must continue from the LAST DISPATCHED chain
+    state (the stacked rows are written back into the per-tracker fields) —
+    without the write-back they re-enter the stack matching against a
+    frames-old 'last frame' whose kp2last indices silently resolve to wrong
+    global point ids (round-5 advisor finding)."""
+    from bench import _make_sequence
+    from lldslam_tpu.config import CameraConfig, SlamConfig, TrackingConfig
+    from lldslam_tpu.ops.orb import OrbConfig
+    from lldslam_tpu.parallel.multi_seq import PipelinedMultiSequenceDriver
+    from lldslam_tpu.system import System
+
+    cam_cfg = CameraConfig(fx=450.0, fy=450.0, cx=320.0, cy=120.0,
+                           bf=200.0, fps=10.0, width=640, height=240)
+    cfg = SlamConfig(camera=cam_cfg, orb=OrbConfig(n_features=512),
+                     tracking=TrackingConfig(min_init_points=60))
+    n_seq, n_frames, n_short = 3, 16, 7
+    seqs = [_make_sequence(cam_cfg.stereo_camera(), n_frames,
+                           n_per_m=25.0, seed=30 + s)
+            for s in range(n_seq)]
+
+    solo_T = []
+    for s in range(n_seq):
+        sysm = System(cfg, enable_loops=False, pipeline=True)
+        sysm.tracker.mapper.fixed_tv_cap = 2048
+        end = n_short if s == 1 else n_frames
+        for i in range(end):
+            sysm.track_stereo(*seqs[s][i], timestamp=i * 0.1)
+        sysm.flush()
+        _, T = sysm.tracker.trajectory()
+        solo_T.append(T)
+
+    drv = PipelinedMultiSequenceDriver(cfg, n_seq, enable_loops=False)
+    for f in range(n_frames):
+        pairs = [seqs[s][f] if (s != 1 or f < n_short) else None
+                 for s in range(n_seq)]
+        drv.process(pairs, [f * 0.1] * n_seq)
+    drv.flush()
+    for s in range(n_seq):
+        _, T = drv.trackers[s].trajectory()
+        exp = n_short if s == 1 else n_frames
+        assert len(T) == exp, (s, len(T))
+        assert drv.trackers[s].state.name == "OK"
+        dp = np.linalg.norm(T[:, :3, 3] - solo_T[s][:, :3, 3], axis=-1)
+        assert dp.max() < 0.35, (s, dp.max())
