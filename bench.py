@@ -73,7 +73,8 @@ def _sample_tex(tex, u_px, v_px):
 
 def _make_sequence(cam, n_frames: int, n_per_m: float = 40.0, seed: int = 0,
                    with_lines: bool = False, half_w: float = 8.0,
-                   cam_h: float = 1.65, speed: float = 1.0):
+                   cam_h: float = 1.65, speed: float = 1.0,
+                   return_poses: bool = False):
     """Synthetic forward-motion stereo corridor, rendered by ray-casting
     textured planes (ground + two walls + end wall) with full perspective.
 
@@ -158,10 +159,12 @@ def _make_sequence(cam, n_frames: int, n_per_m: float = 40.0, seed: int = 0,
         return img
 
     frames = []
+    poses = []
     T = np.eye(4, dtype=np.float32)   # T_cw
     xi = np.array([0.0, 0.0, -1.0 * speed, 0.0, 0.003, 0.0], np.float32)
     dT = np.asarray(se3.exp(jnp.asarray(xi)))
     for _ in range(n_frames):
+        poses.append(T.copy())
         Twc = np.linalg.inv(T)
         Rwc, C = Twc[:3, :3], Twc[:3, 3]
         C_r = C + Rwc[:, 0] * cam.baseline
@@ -170,6 +173,9 @@ def _make_sequence(cam, n_frames: int, n_per_m: float = 40.0, seed: int = 0,
         frames.append((np.clip(imL, 0, 255).astype(np.uint8),
                        np.clip(imR, 0, 255).astype(np.uint8)))
         T = dT @ T
+    if return_poses:
+        return frames, poses, dict(half_w=half_w, cam_h=cam_h,
+                                   length=length, wall_top=wall_top)
     return frames
 
 
@@ -438,35 +444,98 @@ def _bench_multi_seq(n_seq: int = 13, n_meas: int = 14) -> float:
     return fps
 
 
+def _gen_stored_lines_ref_scale(cam, poses, world, left: str, right: str,
+                                seed: int = 5, dz: float = 0.55,
+                                desc_dim: int = 40):
+    """Reference-scale stored LBD detections, generated GEOMETRICALLY.
+
+    The reference's benchmark configs load precomputed LBD detections from
+    disk — hundreds per frame (KITTI04-12_LBD.yaml:73-77; the O(L^2)
+    TwoFrameLineMatcher is sized for that) — and never touch pixels for
+    lines. This does the same: dense 3D wall segments of the bench corridor
+    projected with the ground-truth trajectory, one stable 40-d descriptor
+    per SEGMENT plus per-observation noise well inside the md gate. Yields
+    ~300-450 lines/frame, so a 256 capacity also exercises the
+    capacity-overflow logging (StoredLineSource.cap_events)."""
+    from lldslam_tpu.io.stored_lines import save_frame_lines
+
+    rng = np.random.default_rng(seed)
+    half_w, cam_h = world["half_w"], world["cam_h"]
+    length, wall_top = world["length"], world["wall_top"]
+    segs, descs = [], []
+    for x in (-half_w, half_w):
+        for z in np.arange(1.0, length, dz):
+            y0 = rng.uniform(wall_top + 1.0, 0.2)
+            y1 = min(y0 + rng.uniform(1.2, 3.0), cam_h - 0.1)
+            segs.append(((x, y0, z + rng.uniform(-0.15, 0.15)),
+                         (x, y1, z + rng.uniform(-0.15, 0.15))))
+            d = rng.normal(size=desc_dim).astype(np.float32)
+            descs.append(d / np.linalg.norm(d))
+        # horizontal rails every ~4 m
+        for z in np.arange(2.0, length, 7.5 * dz):
+            y = rng.uniform(wall_top + 1.5, 0.8)
+            segs.append(((x, y, z), (x, y, z + rng.uniform(2.0, 4.0))))
+            d = rng.normal(size=desc_dim).astype(np.float32)
+            descs.append(d / np.linalg.norm(d))
+    P1 = np.array([s[0] for s in segs], np.float32)
+    P2 = np.array([s[1] for s in segs], np.float32)
+    D = np.array(descs, np.float32)
+    W, H = cam.width, cam.height
+
+    def project(T_cw, off_x=0.0):
+        R, t = T_cw[:3, :3], T_cw[:3, 3].copy()
+        # right camera: shift the CAMERA center by +baseline along cam x
+        t = t - np.array([off_x, 0.0, 0.0], np.float32)
+        X1 = P1 @ R.T + t
+        X2 = P2 @ R.T + t
+        ok = (X1[:, 2] > 0.5) & (X2[:, 2] > 0.5)
+        u1 = cam.fx * X1[:, 0] / np.maximum(X1[:, 2], 1e-6) + cam.cx
+        v1 = cam.fy * X1[:, 1] / np.maximum(X1[:, 2], 1e-6) + cam.cy
+        u2 = cam.fx * X2[:, 0] / np.maximum(X2[:, 2], 1e-6) + cam.cx
+        v2 = cam.fy * X2[:, 1] / np.maximum(X2[:, 2], 1e-6) + cam.cy
+        m = 2.0
+        ok &= (u1 > m) & (u1 < W - m) & (v1 > m) & (v1 < H - m)
+        ok &= (u2 > m) & (u2 < W - m) & (v2 > m) & (v2 < H - m)
+        ok &= np.hypot(u2 - u1, v2 - v1) > 26.0
+        return np.stack([u1, v1], -1), np.stack([u2, v2], -1), ok
+
+    counts = []
+    for i, T_cw in enumerate(poses):
+        for d, off in ((left, 0.0), (right, cam.baseline)):
+            p1, p2, ok = project(T_cw, off)
+            idx = np.nonzero(ok)[0]
+            nz = rng.normal(0, 0.008, (len(idx), desc_dim)).astype(np.float32)
+            save_frame_lines(d, i, p1[idx], p2[idx],
+                             np.zeros(len(idx), np.int32),
+                             D[idx] + nz,
+                             valid=np.ones(len(idx), bool))
+            if off == 0.0:
+                counts.append(len(idx))
+    _log(f"bench: stored-line workload {int(np.median(counts))} lines/frame "
+         f"median (min {min(counts)}, max {max(counts)}), "
+         f"{len(segs)} world segments")
+
+
 def _bench_lines(cam_cfg, n_meas: int) -> float:
     """Stored-LBD lines + points throughput (the reference's KITTI benchmark
-    configuration). Detections are precomputed by the native device detector
-    into the StoredLineExtractor npz format, then the timed run tracks with
-    the stored-line route, pre-staged like the images."""
+    configuration): precomputed detections at REFERENCE SCALE (hundreds of
+    lines/frame) loaded from disk, tracked with the stored-line route,
+    pre-staged like the images."""
     import tempfile
     import jax
     from lldslam_tpu.config import LineConfig, SlamConfig, TrackingConfig
-    from lldslam_tpu.io.stored_lines import save_frame_lines, \
-        stage_stored_pair
+    from lldslam_tpu.io.stored_lines import stage_stored_pair
     from lldslam_tpu.ops.orb import OrbConfig
     from lldslam_tpu.system import System
 
     n_warm = 6
     cam = cam_cfg.stereo_camera()
-    frames = _make_sequence(cam, n_warm + n_meas, seed=2, with_lines=True)
+    frames, poses, world = _make_sequence(cam, n_warm + n_meas, seed=2,
+                                          with_lines=True, return_poses=True)
     tmp = tempfile.mkdtemp(prefix="bench_lines_")
     left, right = f"{tmp}/left", f"{tmp}/right"
-    _log("bench: precomputing stored line detections...")
-    from lldslam_tpu.frontend.line_extract import LineDetConfig, detect_lines
-    ldc = LineDetConfig(max_lines=64, min_len=25.0)
-    import jax.numpy as jnp
-    for i, (l, r) in enumerate(frames):
-        for img, d in ((l, left), (r, right)):
-            kl = detect_lines(jnp.asarray(img), ldc)
-            valid = np.asarray(kl.valid)
-            save_frame_lines(d, i, np.asarray(kl.p1), np.asarray(kl.p2),
-                             np.asarray(kl.octave), np.asarray(kl.desc),
-                             valid=valid)
+    _log("bench: generating reference-scale stored line detections...")
+    _gen_stored_lines_ref_scale(cam, poses, world, left, right)
     cfg = SlamConfig(
         camera=cam_cfg, orb=OrbConfig(n_features=2000),
         line=LineConfig(ld_type="LBDFloat", md_thr=0.6,
@@ -499,10 +568,9 @@ def _bench_lines(cam_cfg, n_meas: int) -> float:
     _log(f"bench: lines {n_meas} frames in {dt:.2f}s ({fps:.2f} fps); "
          f"line matches/frame median {int(np.median(n_line))}; "
          f"map lines {sys_.map.n_ln}")
-    # density context (round-4 measurement, tools + /tmp/diag_linedens):
-    # this world yields only ~22-26 detections (~15 stereo) per frame, so
-    # association density is DETECTOR-limited here — relaxing the new-line
-    # seeding gate 40 -> 28 px changed nothing (median stayed 2)
+    _log(f"bench: stored-line cap events {src[0].cap_events + src[1].cap_events} "
+         f"frames, {src[0].cap_dropped + src[1].cap_dropped} lines dropped "
+         f"(capacity {sys_.tracker.store.n_ln_det})")
     _report(sys_, ms, "lines", kt0=kt0, t_snap=t_snap)
     return fps
 

@@ -38,6 +38,16 @@ class FrameLines(NamedTuple):
     p2_r: jnp.ndarray
 
 
+def _desc_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise L2 distance (Na, Nb) via the matmul identity — the
+    broadcast-difference form materializes an (Na, Nb, D) tensor
+    (~63 MB at the 512x256x40 reference-workload shapes; this is one
+    (Na, D)@(D, Nb) MXU matmul)."""
+    sq = jnp.sum(a * a, -1)[:, None] + jnp.sum(b * b, -1)[None] \
+        - 2.0 * (a @ b.T)
+    return jnp.sqrt(jnp.maximum(sq, 0.0))
+
+
 @partial(jax.jit, static_argnames=("cam", "md_thr", "min_len"))
 def match_stereo_lines(
     cam: StereoCamera,
@@ -62,31 +72,20 @@ def match_stereo_lines(
     a_r = lr[:, 0]
     vert_ok = jnp.abs(a_r) > 0.2                                 # not ~horizontal
 
-    # sample along the left segment, lift every sample, fit the 3D line by
-    # PCA: averages the per-pixel disparity noise that would otherwise
-    # dominate the direction of short segments
-    S = 8
-    ts = jnp.linspace(0.0, 1.0, S)
-    P = kl.p1[:, None, :] + ts[None, :, None] * (kl.p2 - kl.p1)[:, None, :]
-    y = P[..., 1]                                               # (L, S)
-    x_r = -(lr[None, None, :, 1] * y[:, :, None] + lr[None, None, :, 2]) \
-        / jnp.where(jnp.abs(a_r) < 1e-6, 1e-6, a_r)[None, None]
-    disp = P[..., 0][:, :, None] - x_r                           # (L, S, R)
-    z = cam.bf / jnp.maximum(disp, 1e-6)
-    X = jnp.stack([(P[..., 0][:, :, None] - cam.cx) * z / cam.fx,
-                   (P[..., 1][:, :, None] - cam.cy) * z / cam.fy, z], -1)
-    X = jnp.swapaxes(X, 1, 2)                                    # (L, R, S, 3)
-    ok_s = jnp.swapaxes((disp > 0.5) & (z > 0.3), 1, 2)          # (L, R, S)
-    ctr = X.mean(axis=2)
-    Xc = X - ctr[:, :, None, :]
-    cov = jnp.einsum("lrsi,lrsj->lrij", Xc, Xc) / S
-    _, vecs = jnp.linalg.eigh(cov)
-    dvec = vecs[..., -1]                                         # (L, R, 3)
-    span = 2.0 * jnp.sqrt(jnp.maximum(
-        jnp.einsum("lrsi,lri->lrs", Xc, dvec).var(axis=-1), 1e-12))
-    X0, d = gl.closest_point_form(ctr, dvec)
-    geom_ok = jnp.all(ok_s, axis=-1) & vert_ok[None, :] \
-        & (jnp.linalg.norm(X0, axis=-1) >= 0.5) & (span > 1e-3)
+    # CHEAP per-pair geometry proxy over all (L, R) pairs: lift only the
+    # two left ENDPOINTS against each right line and require positive,
+    # bounded disparity. The full 8-sample PCA triangulation below runs
+    # only for the SELECTED pair per left line — the all-pairs version was
+    # 65K batched 3x3 eigh at the 256-line reference workload
+    # (~114 ms/frame on-chip; this form is ~7 ms).
+    a_safe = jnp.where(jnp.abs(a_r) < 1e-6, 1e-6, a_r)
+    Pe = jnp.stack([kl.p1, kl.p2], axis=1)                       # (L, 2, 2)
+    ye = Pe[..., 1]                                              # (L, 2)
+    xr_e = -(lr[None, None, :, 1] * ye[:, :, None] + lr[None, None, :, 2]) \
+        / a_safe[None, None]
+    disp_e = Pe[..., 0][:, :, None] - xr_e                       # (L, 2, R)
+    ze = cam.bf / jnp.maximum(disp_e, 1e-6)
+    geom_ok = jnp.all((disp_e > 0.5) & (ze > 0.3), axis=1) & vert_ok[None, :]
 
     # rectified-stereo consistency: same orientation (mod pi), overlapping
     # vertical extent, and non-negative disparity at the midpoint
@@ -110,7 +109,7 @@ def match_stereo_lines(
     disp_ok = (mid_xl[:, None] - mid_xr[None]) > -3.0
     stereo_ok = (da < 0.1) & (overlap > 0.5 * span) & disp_ok
 
-    dist = jnp.linalg.norm(kl.desc[:, None] - kr.desc[None], axis=-1)
+    dist = _desc_dist(kl.desc, kr.desc)
     gate = (kl.octave[:, None] == kr.octave[None]) \
         & (kl.length[:, None] >= min_len) & (kr.length[None] >= min_len) \
         & kl.valid[:, None] & kr.valid[None] & geom_ok & stereo_ok \
@@ -126,10 +125,38 @@ def match_stereo_lines(
     r_claim = jnp.full((R,), L, jnp.int32).at[best].min(jnp.where(winner, lidx, L))
     winner = winner & (r_claim[best] == lidx)
 
+    bsel0 = jnp.maximum(jnp.where(ok, best, 0), 0)
+    # full triangulation for the selected pair only: sample along the left
+    # segment, lift each sample through the disparity against the chosen
+    # right infinite line, fit the 3D line by PCA (averages per-pixel
+    # disparity noise that would otherwise dominate short segments)
+    S = 8
+    ts = jnp.linspace(0.0, 1.0, S)
+    P = kl.p1[:, None, :] + ts[None, :, None] * (kl.p2 - kl.p1)[:, None, :]
+    y = P[..., 1]                                               # (L, S)
+    lr_s = lr[bsel0]                                            # (L, 3)
+    a_s = a_safe[bsel0]
+    x_r = -(lr_s[:, None, 1] * y + lr_s[:, None, 2]) / a_s[:, None]
+    disp = P[..., 0] - x_r                                      # (L, S)
+    z = cam.bf / jnp.maximum(disp, 1e-6)
+    X = jnp.stack([(P[..., 0] - cam.cx) * z / cam.fx,
+                   (P[..., 1] - cam.cy) * z / cam.fy, z], -1)   # (L, S, 3)
+    ok_s = jnp.all((disp > 0.5) & (z > 0.3), axis=-1)           # (L,)
+    ctr = X.mean(axis=1)
+    Xc = X - ctr[:, None, :]
+    cov = jnp.einsum("lsi,lsj->lij", Xc, Xc) / S
+    _, vecs = jnp.linalg.eigh(cov)
+    dvec = vecs[..., -1]                                        # (L, 3)
+    span = 2.0 * jnp.sqrt(jnp.maximum(
+        jnp.einsum("lsi,li->ls", Xc, dvec).var(axis=-1), 1e-12))
+    X0, d = gl.closest_point_form(ctr, dvec)
+    winner = winner & ok_s & (jnp.linalg.norm(X0, axis=-1) >= 0.5) \
+        & (span > 1e-3)
+
     r_idx = jnp.where(winner, best, -1)
     bsel = jnp.maximum(r_idx, 0)
-    X0_m = X0[lidx, bsel] * winner[:, None]
-    d_m = d[lidx, bsel] * winner[:, None]
+    X0_m = X0 * winner[:, None]
+    d_m = d * winner[:, None]
     return FrameLines(
         kl=kl,
         r_idx=r_idx,
@@ -186,7 +213,7 @@ def associate_lines(
     Xc0, dc = gl.transform_line(T_cw, ln_X0, ln_d)
     front = Xc0[..., 2] > 0  # closest point in front (coarse gate)
 
-    dist = jnp.linalg.norm(ln_desc[:, None] - kl.desc[None], axis=-1)
+    dist = _desc_dist(ln_desc, kl.desc)
     gate = reproj_ok & (dist < md_thr) & ln_valid[:, None] & kl.valid[None] \
         & front[:, None]
     cost = jnp.where(gate, dist, jnp.inf)

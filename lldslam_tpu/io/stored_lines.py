@@ -39,11 +39,15 @@ class StoredLineSource:
     `frame(i)` returns a frontend.line_extract.KeyLines padded to `cap`.
     """
 
-    def __init__(self, dir_path: str | Path, cap: int = 64,
+    def __init__(self, dir_path: str | Path, cap: int = 256,
                  desc_dim: int = 40):
         self.dir = Path(dir_path)
         self.cap = cap
         self.desc_dim = desc_dim
+        # capacity-overflow log (no silent caps): total lines dropped and
+        # number of frames affected; read by benches/CLI stats
+        self.cap_events = 0
+        self.cap_dropped = 0
 
     def _frame_np(self, frame_id: int):
         path = self.dir / f"{frame_id:06d}.npz"
@@ -55,7 +59,27 @@ class StoredLineSource:
         valid = np.zeros(cap, bool)
         if path.exists():
             z = np.load(path)
-            n = min(len(z["p1"]), cap)
+            n_file = len(z["p1"])
+            n = min(n_file, cap)
+            if n_file > cap:
+                # keep the LONGEST lines (the reference's detector sorts
+                # by response/length; long segments carry the most pose
+                # constraint) and LOG the truncation
+                ln = np.linalg.norm(np.asarray(z["p2"], np.float32)
+                                    - np.asarray(z["p1"], np.float32),
+                                    axis=-1)
+                order = np.argsort(-ln, kind="stable")[:cap]
+                order = np.sort(order)
+                self.cap_events += 1
+                self.cap_dropped += n_file - cap
+                p1[:] = z["p1"][order]
+                p2[:] = z["p2"][order]
+                octave[:] = z["octave"][order]
+                d = np.asarray(z["desc"])[order]
+                desc[:, : min(D, d.shape[1])] = d[:, : min(D, d.shape[1])]
+                valid[:] = True
+                length = np.linalg.norm(p2 - p1, axis=-1).astype(np.float32)
+                return p1, p2, octave, length, desc, valid
             p1[:n] = z["p1"][:n]
             p2[:n] = z["p2"][:n]
             octave[:n] = z["octave"][:n]

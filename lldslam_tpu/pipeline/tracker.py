@@ -1570,14 +1570,14 @@ class StereoTracker:
             np.concatenate([np.ones(P, np.int32), np.zeros(pad, np.int32)]),
         ])
         self._line_D = D
-        if self._tr_io is not None:
-            # the ~40 ms flat relay upload rides the IO thread; the view is
-            # resolved lazily at the next dispatch (_get_line_view)
-            self._line_view_fut = self._tr_io.submit(jax.device_put, buf_np)
-        else:
-            self._line_view_fut = None
-            self._line_view = _unpack_line_view(
-                jax.device_put(buf_np), cap, D)
+        # inline upload: host->device puts are async enqueues through the
+        # relay (~0.2 ms for 560 KB, measured round 5). Routing this
+        # through the 2-worker tracker IO pool made the NEXT dispatch's
+        # _get_line_view .result() wait behind a 200 ms ring fetch
+        # occupying both workers (~25 ms/frame avg at the 256-line
+        # workload).
+        self._line_view_fut = None
+        self._line_view = _unpack_line_view(jax.device_put(buf_np), cap, D)
 
     def _get_line_view(self):
         """Resolve the (possibly in-flight) device map-line view."""

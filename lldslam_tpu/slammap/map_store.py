@@ -40,7 +40,12 @@ class MapStore:
         max_kf: int = 512,
         max_pt: int = 120_000,
         max_ln: int = 8192,
-        n_ln_det: int = 64,
+        # per-frame line-detection capacity: the reference's stored-LBD
+        # benchmark workload carries hundreds of lines per frame
+        # (KITTI04-12_LBD.yaml:73-77; TwoFrameLineMatcher.cc:26-123 is an
+        # O(L^2) matcher sized for that), so the capacity must hold the
+        # KITTI regime, not a toy detector's output
+        n_ln_det: int = 256,
         ln_desc_dim: int = 40,
     ):
         self.cam = cam
@@ -313,7 +318,14 @@ class MapStore:
         import jax.numpy as jnp
         from ..geometry import lines as gl
 
-        self.absorb_retriangulate()
+        import time as _time
+        rt = getattr(self, "retri_times", None)
+        if rt is None:
+            rt = self.retri_times = {}
+        _t0 = _time.perf_counter()
+        self.absorb_retriangulate(keep=1)
+        rt["absorb"] = rt.get("absorb", 0.0) + (_time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
         K = self.n_kf
         kf_idx, det_idx = np.nonzero(self.kf_ln_ids[:K] >= 0)
         if len(kf_idx) == 0:
@@ -323,6 +335,16 @@ class MapStore:
         cand = uniq[(counts >= 2) & self.ln_valid[uniq]]
         if len(cand) == 0:
             return
+        # refine only lines with a FRESH observation (seen by the newest
+        # keyframe): re-solving every >= 2-obs map line per KF is O(map)
+        # work for geometry that did not change (at the 256-line reference
+        # workload the full-map version re-solved the same ~256 lines
+        # every keyframe)
+        newest = self.kf_ln_ids[K - 1]
+        fresh = np.intersect1d(cand, newest[newest >= 0],
+                               assume_unique=False)
+        if len(fresh):
+            cand = fresh
         cand = cand[-max_lines:]
 
         def plane(p1, p2, T_cw):
@@ -379,23 +401,44 @@ class MapStore:
             normals.reshape(-1).view(np.int32),
             centers.reshape(-1).view(np.int32),
             mask.astype(np.int32).reshape(-1)])
-        buf = gl.triangulate_multi_view_from_packed(
-            jnp.asarray(packed), cap, max_obs)
+        rt["host"] = rt.get("host", 0.0) + (_time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
         io = getattr(self, "retri_io", None)
         if io is not None:
-            # start the readback NOW on the IO thread: the absorb at the
-            # next keyframe then finds it done instead of paying the
-            # ~140 ms per-program completion latency inline
-            buf = io.submit(np.asarray, buf)
-        self._pending_retri = (cand, buf)
+            # dispatch AND readback ride the IO thread: under keyframe
+            # burst the device queue is full and even the dispatch call
+            # blocks for queue space (~68 ms/KF measured at the 256-line
+            # workload) — keep that off the keyframe critical path
+            def _task(p=packed, c=cap, m=max_obs):
+                return np.asarray(
+                    gl.triangulate_multi_view_from_packed(jnp.asarray(p),
+                                                          c, m))
+            buf = io.submit(_task)
+        else:
+            buf = gl.triangulate_multi_view_from_packed(
+                jnp.asarray(packed), cap, max_obs)
+        rt["dispatch"] = rt.get("dispatch", 0.0) + (_time.perf_counter()
+                                                    - _t0)
+        rt["n"] = rt.get("n", 0) + 1
+        q = getattr(self, "_pending_retri", None)
+        if q is None:
+            from collections import deque
+            q = self._pending_retri = deque()
+        q.append((cand, buf))
 
-    def absorb_retriangulate(self):
-        """Write back the previous keyframe's staged multi-view solve."""
-        pend = getattr(self, "_pending_retri", None)
-        if pend is None:
-            return
-        self._pending_retri = None
-        cand, dev = pend
+    def absorb_retriangulate(self, keep: int = 0):
+        """Write back staged multi-view solves older than `keep` stages.
+
+        Called with keep=1 from retriangulate_lines: a solve dispatched at
+        keyframe k is absorbed at keyframe k+2 (two-deep, deterministic
+        lag) — at k+1 the readback usually still sits behind a saturated
+        device queue and .result() blocked ~120 ms/KF at the 256-line
+        reference workload. keep=0 (flush) drains everything."""
+        q = getattr(self, "_pending_retri", None)
+        while q and len(q) > keep:
+            self._absorb_one_retri(*q.popleft())
+
+    def _absorb_one_retri(self, cand, dev):
         buf = dev.result() if hasattr(dev, "result") else np.asarray(dev)
         cap = (len(buf) // 7)
         X0 = buf[: 3 * cap].view(np.float32).reshape(cap, 3)
