@@ -816,13 +816,25 @@ class LocalMapper:
 
     def _select_view_pids(self, kf_id: int) -> np.ndarray:
         """Local-map point ids for the tracker's view (the points of the
-        reference KF's covisibility neighborhood)."""
+        reference KF's covisibility neighborhood,
+        UpdateLocalKeyFrames/UpdateLocalPoints, Tracking.cc:1726-1835).
+
+        Returned sorted by ASCENDING covisibility weight (observation count
+        within the neighborhood, newest id breaking ties), so the caller's
+        fixed-capacity tail truncation `[-cap:]` drops the WEAKEST points —
+        the round-4 policy dropped by id recency, which on a revisit threw
+        away exactly the old, well-observed landmarks the reference's local
+        map keeps."""
         s = self.store
         covis, _ = s.covisible_kfs(kf_id, min_shared=15, top=19)
         local_kfs = np.concatenate([[kf_id], covis]).astype(np.int32)
-        ids = np.unique(s.kf_pt_ids[local_kfs])
-        ids = ids[ids >= 0]
-        return ids[s.pt_valid[ids]]
+        raw = s.kf_pt_ids[local_kfs]
+        raw = raw[raw >= 0]
+        counts = np.bincount(raw, minlength=s.max_pt)
+        ids = np.unique(raw)
+        ids = ids[s.pt_valid[ids]]
+        order = np.argsort(counts[ids], kind="stable")
+        return ids[order]
 
     # ------------------------------------------------------------------
 

@@ -1601,7 +1601,9 @@ class StereoTracker:
         cap = self.mapper.fixed_tv_cap or (2048 if len(ids) <= 2048
                                            else 4096)
         if len(ids) > cap:
-            ids = ids[-cap:]  # keep newest (forward motion: recent = visible)
+            # ids arrive sorted by ascending covisibility weight — the tail
+            # keeps the most-covisible points (see _select_view_pids)
+            ids = ids[-cap:]
         pad = cap - len(ids)
         self._view_pid = np.concatenate([ids, np.full(pad, -1, ids.dtype)])
         buf = jax.device_put(mapper_fast.pack_view(s, ids, cap))

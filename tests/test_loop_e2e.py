@@ -103,6 +103,15 @@ def test_circular_loop_closure():
     assert lc is not None
     assert len(lc.events) >= 1, "no loop closure detected on a full circle"
 
+    # revisit health: with covisibility-weighted view selection the local
+    # map at the loop re-entry still holds the OLD landmarks, so the
+    # tracked-inlier count must not collapse relative to mid-run (the
+    # round-4 newest-id truncation threw exactly those landmarks away)
+    n_in = np.array([m.n_inliers for m in sys.tracker.metrics], np.float64)
+    mid = np.median(n_in[len(n_in) // 4: len(n_in) // 2])
+    revisit = np.median(n_in[-len(n_in) // 5:])
+    assert revisit >= 0.5 * mid, (revisit, mid)
+
     _, T_wc = sys.tracker.trajectory()
     # SLAM's world frame is camera 0's frame: express GT there
     # (T_wc_slam_gt[i] = inv(gt[i] @ inv(gt[0])) = gt[0] @ inv(gt[i]))
