@@ -64,25 +64,24 @@ FORCE_PALLAS_MATCH: bool | None = None
 def use_pallas_match() -> bool:
     """Gate for the fused Pallas best-2 matcher (ops/pallas_match.py).
 
-    Default OFF: through this environment's remote-AOT relay the kernel's
-    full form crashes the Mosaic compile helper (exit 1, no diagnostics)
-    even though every constituent pattern — bf16 tile matmul, masked min,
-    iota argmin, multi-scratch fold, multi-output pl.when writes — compiles
-    and runs correctly in isolation, and the identical logic passes when
-    inlined with constant operands. Near-exactness vs the XLA path is
-    covered by tests/test_pallas_match.py (interpret mode): best index and
-    both distances match element-wise; `second_kp` may differ from the XLA
-    argmin on equal-distance ties (the kernel's fold visits columns in a
-    different order), which can flip the same-octave ratio gate on tied
-    rows — enabling FORCE_PALLAS_MATCH gives slightly different (equally
-    valid) match sets, not bit-identical ones. Set
-    FORCE_PALLAS_MATCH = True to enable on a toolchain where the Mosaic
-    pipeline accepts it; the XLA fallback costs ~2 ms of the ~7 ms step at
-    bench shapes, so this is an HBM-traffic optimization, not a
-    correctness or bottleneck issue."""
+    ON for TPU backends (round 5): the three-round "Mosaic compile helper
+    exit 1" crash was the bf16 x bf16 -> f32 tpu.matmul — this Mosaic
+    rejects mixed-precision matmuls; casting the bit tiles to f32 IN VMEM
+    fixes it (found via the identical failure in ops/patch_sample.py).
+    Measured on-chip at bench shapes (4096 x 2048): kernel 2.5 ms vs 2.7 ms
+    for the XLA distance_matrix + two argmin passes, with the (M, N) i32
+    distance matrix never materialized in HBM. Best index and both
+    distances match the XLA path element-wise (verified on-chip);
+    `second_kp` may differ on equal-distance ties (the fold visits columns
+    in a different order), which can flip the same-octave ratio gate on
+    tied rows — equally valid match sets, not bit-identical ones.
+    FORCE_PALLAS_MATCH overrides (tests use interpret mode on CPU).
+    Headline A/B on-chip: 20.15 (on) vs 19.77 (off) fps median-of-3 —
+    statistically a wash on this device; kept ON for the HBM savings."""
     if FORCE_PALLAS_MATCH is not None:
         return FORCE_PALLAS_MATCH
-    return False
+    import jax
+    return jax.default_backend() not in ("cpu",)
 
 
 @partial(jax.jit, static_argnames=("cam", "n_levels", "scale", "check_rot"))

@@ -47,8 +47,12 @@ def _kernel(a_ref, b_ref, m_ref, bi_ref, bd_ref, sd_ref, si_ref,
         idx_s[:] = jnp.zeros_like(idx_s)
         sidx_s[:] = jnp.zeros_like(sidx_s)
 
-    a = a_ref[:]                       # (TM, 256) bf16 bits
-    bt = b_ref[:]                      # (256, TN) bf16 bits, pre-transposed
+    # cast the bit tiles to f32 IN VMEM: this environment's Mosaic rejects
+    # bf16 x bf16 -> f32 tpu.matmul (the "exit 1, no diagnostics" crash
+    # that kept this kernel gated off for three rounds was exactly this —
+    # found round 5 via the same failure in ops/patch_sample.py)
+    a = a_ref[:].astype(jnp.float32)   # (TM, 256) bits
+    bt = b_ref[:].astype(jnp.float32)  # (256, TN) bits, pre-transposed
     # standard (M,K)x(K,N) contraction — Mosaic rejects the K-contracted
     # rhs form ("Bad lhs type"), so B ships transposed from the wrapper
     ab = jax.lax.dot_general(
