@@ -579,7 +579,7 @@ class StereoTracker:
                  local_pt_cap: int = 8192, mapper_kwargs: dict | None = None,
                  enable_loops: bool = True, vocabulary=None,
                  pipeline: bool = False, pipeline_depth: int = 2,
-                 readback_window: int = 4):
+                 readback_window: int = 3):
         self.cfg = cfg
         self.cam = cfg.camera.stereo_camera()
         self.orb = cfg.orb
@@ -625,9 +625,13 @@ class StereoTracker:
         # (KF decision, metrics, trajectory) lags up to W-1 frames.
         self.readback_window = max(1, readback_window)
         # how many window fetches may ride the IO pool before the dispatch
-        # thread blocks on the oldest (1 = block at the next window edge;
-        # 2 = give each fetch a full extra window of background time)
-        self.max_inflight_windows = 1
+        # thread blocks on the oldest. Swept on-chip round 5 (after the
+        # dispatch-cost fixes made deep pipelining cheap): W=3 x depth 3
+        # measured 24.2 fps vs 20.3 at the round-4 W=4 x depth 1 — each
+        # extra inflight window hides one more ~60 ms fetch completion
+        # behind dispatch work, and the on-device KF decision keeps the
+        # added host lag safe
+        self.max_inflight_windows = 3
         self._dev_ring = None
         self._ring_slot = 0
         self._pending: list[dict] = []
@@ -1076,6 +1080,13 @@ class StereoTracker:
         # short windows until the first keyframes land
         n_kf = self.store.n_kf
         W_eff = W if n_kf >= 4 else min(W, 2)
+        # young-map damper also caps pipeline DEPTH: while the map is
+        # young (and for lines, while map lines are still sparse) every
+        # map update must reach the device view quickly, so the deep
+        # inflight schedule would starve association for its whole lag
+        young = n_kf < 4 or (with_lines
+                             and int(self.store.ln_valid.sum()) < 8)
+        inflight_eff = 1 if young else self.max_inflight_windows
         if self._ring_slot >= W_eff:
             # window complete: hand the ring fetch to the IO pool and keep
             # dispatching — finalize happens when the readback lands (the
@@ -1099,7 +1110,7 @@ class StereoTracker:
 
             fut = self._tr_io.submit(_fetch)
             self._ring_inflight.append((recs, fut, t_sub))
-            if len(self._ring_inflight) >= self.max_inflight_windows + 1:
+            if len(self._ring_inflight) >= inflight_eff + 1:
                 r2 = self._absorb_ring(block=True)  # keep windows ordered
                 if r2 is not None:
                     ret = r2

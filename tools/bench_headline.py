@@ -27,8 +27,9 @@ def run_once(cfg, frames, n_warm, n_meas, w, ba_interval=1, loops=True):
     sys_ = System(cfg, pipeline=True, enable_loops=loops)
     sys_.tracker.readback_window = w
     sys_.tracker.mapper.ba_interval = ba_interval
-    sys_.tracker.max_inflight_windows = int(
-        os.environ.get("LLD_MAX_INFLIGHT", "1"))
+    if os.environ.get("LLD_MAX_INFLIGHT"):
+        sys_.tracker.max_inflight_windows = int(
+            os.environ["LLD_MAX_INFLIGHT"])
     sys_.warmup()
     for i in range(n_warm):
         sys_.track_stereo(*frames[i], timestamp=i * 0.1)
