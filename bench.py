@@ -308,7 +308,8 @@ def main():
         if rep == 0:
             _report(sys_, sys_.tracker.metrics[m0:], "staged", kt0=kt0,
                     t_snap=t_snap)
-        return f
+        sys_.shutdown()   # leaked IO pools degrade the relay (~10x fetch
+        return f          # latencies late in long multi-section processes)
 
     reps = [_headline_once(r) for r in range(3)]
     fps = float(np.median(reps))
@@ -331,6 +332,7 @@ def main():
         sys2.track_stereo(None, None, timestamp=i * 0.1, pair_dev=q.pop(0))
     sys2.flush()
     dt2 = time.perf_counter() - t0
+    sys2.shutdown()
     fps2 = (n_meas - 4) / dt2
     _log(f"bench: ingest-included {fps2:.2f} fps "
          f"({1e3 * dt2 / (n_meas - 4):.1f} ms/frame, link-bound; "
@@ -401,6 +403,8 @@ def _bench_multi_seq(n_seq: int = 13, n_meas: int = 14) -> float:
                            pair_dev=staged0[f])
     solo2.flush()
     solo_fps = n_meas / (time.perf_counter() - t0)
+    solo.shutdown()
+    solo2.shutdown()
     _log(f"bench: multi-seq solo baseline {solo_fps:.2f} fps "
          f"(same workload, pipelined, device-staged)")
 
@@ -417,6 +421,12 @@ def _bench_multi_seq(n_seq: int = 13, n_meas: int = 14) -> float:
         drv0.process([None] * n_seq, [f * 0.1] * n_seq,
                      pair_devs=staged[f])
     drv0.flush()
+    for tr in drv0.trackers:
+        if tr._tr_io is not None:
+            tr._tr_io.shutdown(wait=False, cancel_futures=True)
+            tr._tr_io = None
+        tr.mapper.close()
+    drv0._io.shutdown(wait=False, cancel_futures=True)
 
     drv = PipelinedMultiSequenceDriver(cfg, n_seq, enable_loops=False)
     staged = [[drv.trackers[i].stage_pair(*seqs[i][f])
@@ -436,6 +446,11 @@ def _bench_multi_seq(n_seq: int = 13, n_meas: int = 14) -> float:
     _log(f"bench: multi-seq {n_seq}x{n_meas} frames in {dt:.2f}s "
          f"({fps:.2f} fps aggregate, {fps / n_seq:.2f}/seq, "
          f"{fps / max(solo_fps, 1e-9):.2f}x solo); states {states}")
+    _log("bench: multi-seq note: ONE time-shared chip caps aggregate at "
+         "~1.0x the solo rate (13 sequences' work is 13x one sequence's); "
+         f"{fps / max(solo_fps, 1e-9):.0%} of that ceiling means the "
+         "batching overhead (stack/finalize/fetch) is the remaining "
+         "fraction. On an N-chip mesh sequences shard across chips.")
     st = getattr(drv, "step_times", None)
     if st:
         _log("bench: multi-seq step phases (per measured frame) " + " ".join(
@@ -572,6 +587,7 @@ def _bench_lines(cam_cfg, n_meas: int) -> float:
          f"frames, {src[0].cap_dropped + src[1].cap_dropped} lines dropped "
          f"(capacity {sys_.tracker.store.n_ln_det})")
     _report(sys_, ms, "lines", kt0=kt0, t_snap=t_snap)
+    sys_.shutdown()
     return fps
 
 

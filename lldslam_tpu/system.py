@@ -171,6 +171,23 @@ class System:
         from .io.checkpoint import load_map
         load_map(self.map, path)
 
-    # -- shutdown is a no-op: no threads exist by design (SURVEY.md §2.3) --
     def shutdown(self) -> None:
-        pass
+        """Drain the pipeline and stop the IO worker threads (System::
+        Shutdown, System.cc:301-325). The COMPUTE pipeline has no threads
+        by design (SURVEY.md §2.3); pipelined mode runs small IO pools for
+        ring fetches and staged mapper dispatches — leaking them across
+        many System lifetimes in one process degrades the relay channel
+        (observed as ~10x window-fetch latencies late in long bench
+        processes)."""
+        tr = self.tracker
+        try:
+            if getattr(tr, "pipeline", False):
+                tr.flush()
+        except Exception:
+            pass
+        io = getattr(tr, "_tr_io", None)
+        if io is not None:
+            io.shutdown(wait=False, cancel_futures=True)
+            tr._tr_io = None
+        if getattr(tr, "mapper", None) is not None:
+            tr.mapper.close()
