@@ -460,7 +460,7 @@ def _bench_multi_seq(n_seq: int = 13, n_meas: int = 14) -> float:
 
 
 def _gen_stored_lines_ref_scale(cam, poses, world, left: str, right: str,
-                                seed: int = 5, dz: float = 0.55,
+                                seed: int = 5, dz: float = 0.32,
                                 desc_dim: int = 40):
     """Reference-scale stored LBD detections, generated GEOMETRICALLY.
 
